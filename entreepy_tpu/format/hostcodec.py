@@ -1,0 +1,95 @@
+"""Host (numpy) codec — exact, vectorized encode pack + serial decode.
+
+This is the correctness anchor: the encode pack is the same
+prefix-sum + scatter design the TPU kernels use (in exact uint64 arithmetic),
+and the decoder is a straightforward serial LUT automaton. Device paths are
+tested against these.
+
+Replaces the reference's serial bit-at-a-time loops:
+* body pack — ``encode.zig:301-319`` (one ``writeBits(..., 1)`` per bit)
+* body decode — ``decode.zig:143-203`` (u32 shift register + hash probes)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .etformat import parse_header, serialize_header
+from .huffman import CodeTable, build_code_table, histogram
+from .lut import DecodeLut, build_decode_lut, lut_lookup_host
+
+
+def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
+    """Bit-pack ``data`` (uint8[n]) with ``table`` → (body bytes, total bits).
+
+    Parallel formulation: an exclusive prefix sum of code lengths gives every
+    symbol's absolute output bit offset; each code then lands in at most two
+    consecutive u32 words (code length <= 32), deposited with a scatter-add
+    (codes never overlap, so add == or).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    if data.size == 0:
+        return b"", 0
+    lens = table.lengths[data].astype(np.int64)
+    if (lens == 0).any():
+        bad = int(data[lens == 0][0])
+        raise ValueError(f"symbol {bad:#04x} has no code in the table")
+    codes = table.codes[data].astype(np.uint64)
+
+    ends = np.cumsum(lens)
+    total_bits = int(ends[-1])
+    offs = ends - lens
+    word0 = (offs >> 5).astype(np.int64)
+    bitpos = (offs & 31).astype(np.uint64)
+
+    # Place each code in a 64-bit window starting at word0's bit 0 (big-endian
+    # bit order: bit 0 of the window is the MSB of word0).
+    contrib = codes << (np.uint64(64) - bitpos - lens.astype(np.uint64))
+    hi = (contrib >> np.uint64(32)).astype(np.uint32)
+    lo = (contrib & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    n_words = (total_bits + 31) // 32
+    words = np.zeros(n_words + 1, dtype=np.uint32)
+    np.add.at(words, word0, hi)
+    np.add.at(words, word0 + 1, lo)
+
+    n_bytes = (total_bits + 7) // 8
+    return words[:n_words].astype(">u4").tobytes()[:n_bytes], total_bits
+
+
+def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
+    """Serial LUT decode of a packed body → uint8[n_symbols]."""
+    buf = np.frombuffer(body, dtype=np.uint8)
+    # Zero-pad so any 32-bit window read beyond the stream end is valid.
+    padded = np.zeros(((buf.size + 3) // 4 + 2) * 4, dtype=np.uint8)
+    padded[: buf.size] = buf
+    words = padded.view(">u4").astype(np.uint32)
+
+    out = np.empty(n_symbols, dtype=np.uint8)
+    bitpos = 0
+    for i in range(n_symbols):
+        w0 = int(words[bitpos >> 5])
+        w1 = int(words[(bitpos >> 5) + 1])
+        sh = bitpos & 31
+        window = ((w0 << sh) | (w1 >> (32 - sh) if sh else 0)) & 0xFFFFFFFF
+        sym, length = lut_lookup_host(lut, window)
+        out[i] = sym
+        bitpos += length
+    if bitpos > len(body) * 8:
+        raise ValueError("bitstream ended before all symbols were decoded")
+    return out
+
+
+def compress_host(data: bytes, *, strict: bool = True) -> bytes:
+    """bytes → complete .et file, byte-identical to the reference's output."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    table = build_code_table(histogram(arr), strict=strict)
+    body, _ = pack_body_host(arr, table)
+    return serialize_header(table, arr.size) + body
+
+
+def decompress_host(et: bytes) -> bytes:
+    """complete .et file → original bytes (validates magic/version)."""
+    hdr = parse_header(et)
+    lut = build_decode_lut(hdr.table)
+    return unpack_body_host(et[hdr.body_start :], lut, hdr.body_len).tobytes()

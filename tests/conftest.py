@@ -1,0 +1,32 @@
+"""Test env: force an 8-device virtual CPU mesh BEFORE jax is imported.
+
+Multi-chip sharding is validated here without TPU hardware, per the project's
+test strategy (SURVEY.md §4). Bench runs (bench.py) use the real chip instead.
+"""
+
+import os
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+DATA = Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def tiny_text() -> bytes:
+    return (DATA / "test.txt").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def macbeth() -> bytes:
+    return (DATA / "nice.shakespeare.txt").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def midsummer() -> bytes:
+    return (DATA / "a_midsummer_nights_dream.txt").read_bytes()

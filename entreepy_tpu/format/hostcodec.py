@@ -66,8 +66,13 @@ def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     words = padded.view(">u4").astype(np.uint32)
 
     out = np.empty(n_symbols, dtype=np.uint8)
+    avail_bits = buf.size * 8
     bitpos = 0
     for i in range(n_symbols):
+        if bitpos >= avail_bits:
+            raise ValueError(
+                f"bitstream ended early: decoded {i} of {n_symbols} symbols"
+            )
         w0 = int(words[bitpos >> 5])
         w1 = int(words[(bitpos >> 5) + 1])
         sh = bitpos & 31

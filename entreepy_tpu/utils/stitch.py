@@ -1,0 +1,58 @@
+"""Bit-granular stitching of per-block packed streams (host, vectorized numpy).
+
+Blocks pack independently on device; the .et body is a single continuous
+bitstream, so block payloads must be merged with sub-byte shifts. Each merge
+is two vectorized funnel-shift ORs over the block's words — O(total bytes) at
+memory bandwidth. (A C++ runtime version exists for the CLI hot path; this is
+the portable fallback and the correctness reference for it.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stitch_words(payloads, bit_lens) -> tuple[np.ndarray, int]:
+    """Merge per-block bitstreams into one.
+
+    payloads: iterable of uint32 arrays (big-endian bit order: bit 0 of the
+    stream is the MSB of word 0), zero beyond each block's ``bit_len``.
+    bit_lens: exact bit length per block.
+
+    Returns (uint32 words of the concatenated stream, total_bits).
+    """
+    bit_lens = [int(b) for b in bit_lens]
+    total_bits = sum(bit_lens)
+    out = np.zeros((total_bits + 31) // 32 + 1, dtype=np.uint32)
+    off = 0
+    for words, bl in zip(payloads, bit_lens):
+        if bl == 0:
+            continue
+        nw = (bl + 31) // 32
+        w = np.asarray(words[:nw], dtype=np.uint32)
+        base = off >> 5
+        s = off & 31
+        if s == 0:
+            out[base : base + nw] |= w
+        else:
+            out[base : base + nw] |= w >> s
+            out[base + 1 : base + nw + 1] |= (w << (32 - s)).astype(np.uint32)
+        off += bl
+    return out, total_bits
+
+
+def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
+    """Big-endian u32 words -> the stream's bytes (zero-padded final byte)."""
+    n_bytes = (total_bits + 7) // 8
+    return words.astype(">u4").tobytes()[:n_bytes]
+
+
+def split_blocks(arr: np.ndarray, block_bytes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reshape a byte array into zero-padded [n_blocks, block_bytes] + valid counts."""
+    n = arr.size
+    n_blocks = max(1, -(-n // block_bytes))
+    padded = np.zeros(n_blocks * block_bytes, dtype=np.uint8)
+    padded[:n] = arr
+    valid = np.full(n_blocks, block_bytes, dtype=np.int32)
+    valid[-1] = n - (n_blocks - 1) * block_bytes
+    return padded.reshape(n_blocks, block_bytes), valid

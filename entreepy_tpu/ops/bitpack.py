@@ -49,15 +49,15 @@ def block_bit_lengths(blocks: jax.Array, valid: jax.Array, lengths: jax.Array) -
     return jnp.sum(lens.astype(jnp.int32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("cap_words",))
-def pack_blocks(
+def pack_blocks_core(
     blocks: jax.Array,  # uint8[n_blocks, block_bytes] zero-padded
     valid: jax.Array,  # int32[n_blocks]
     codes: jax.Array,  # uint32[256]
     lengths: jax.Array,  # uint32[256]
     cap_words: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Pack every block independently.
+    """Pack every block independently (traceable core — also used per-shard
+    inside shard_map by the multi-device path).
 
     Returns (payload uint32[n_blocks, cap_words] big-endian bit order,
     bit_lens int32[n_blocks]). ``cap_words`` must be >= ceil(max block bit
@@ -96,3 +96,6 @@ def pack_blocks(
     words = words.at[flat_idx].add(hi, mode="drop")
     words = words.at[flat_idx + 1].add(lo, mode="drop")
     return words.reshape(n_blocks, cap_words), bit_lens
+
+
+pack_blocks = jax.jit(pack_blocks_core, static_argnames=("cap_words",))

@@ -48,6 +48,48 @@ U32 = jnp.uint32
 DEFAULT_CHUNK_BITS = 4096
 
 
+def make_chunk_pass(
+    words, lut_flat, chunk_ends, n_real_bits, lookup_bits: int, levels: int, max_syms: int
+):
+    """Build the per-pass chunk decoder (traceable; also used per-shard inside
+    shard_map by the multi-device path, with the shard's own chunk_ends).
+
+    pass_fn(entries, emit=False) -> (exits, counts)
+    pass_fn(entries, emit=True)  -> (exits, counts, counts_real, slab)
+    """
+    n_chunks = chunk_ends.shape[0]
+
+    def pass_fn(entries, emit: bool):
+        slab0 = jnp.zeros((n_chunks, max_syms), dtype=jnp.uint8) if emit else None
+
+        def cond(state):
+            p = state[0]
+            return jnp.any(p < chunk_ends)
+
+        def body(state):
+            if emit:
+                p, cnt, cnt_real, slab = state
+            else:
+                p, cnt = state
+                cnt_real = slab = None
+            active = p < chunk_ends
+            sym, length = _lut_resolve(words, p, lut_flat, lookup_bits, levels)
+            if emit:
+                rows = jnp.arange(n_chunks, dtype=jnp.int32)
+                col = jnp.where(active, cnt, max_syms)  # inactive -> dropped
+                slab = slab.at[rows, col].set(sym.astype(jnp.uint8), mode="drop")
+                cnt_real = cnt_real + (active & (p < n_real_bits)).astype(jnp.int32)
+            p = jnp.where(active, p + length, p)
+            cnt = cnt + active.astype(jnp.int32)
+            return (p, cnt, cnt_real, slab) if emit else (p, cnt)
+
+        zeros = jnp.zeros(n_chunks, dtype=jnp.int32)
+        init = (entries, zeros, zeros, slab0) if emit else (entries, zeros)
+        return jax.lax.while_loop(cond, body, init)
+
+    return pass_fn
+
+
 def _fetch32(words: jax.Array, p: jax.Array) -> jax.Array:
     """32 stream bits starting at bit position p (u32, big-endian bit order)."""
     w0 = words[p >> 5]
@@ -106,36 +148,9 @@ def decode_chunked(
     n_chunks = (n_words * 32) // chunk_bits
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_bits
     chunk_ends = chunk_starts + chunk_bits
-
-    def pass_fn(entries, emit: bool):
-        """One decode pass over all chunks (vectorized lanes)."""
-        slab0 = jnp.zeros((n_chunks, max_syms), dtype=jnp.uint8) if emit else None
-
-        def cond(state):
-            p = state[0]
-            return jnp.any(p < chunk_ends)
-
-        def body(state):
-            if emit:
-                p, cnt, cnt_real, slab = state
-            else:
-                p, cnt = state
-                cnt_real = slab = None
-            active = p < chunk_ends
-            sym, length = _lut_resolve(words, p, lut_flat, lookup_bits, levels)
-            if emit:
-                rows = jnp.arange(n_chunks, dtype=jnp.int32)
-                col = jnp.where(active, cnt, max_syms)  # inactive -> dropped
-                slab = slab.at[rows, col].set(sym.astype(jnp.uint8), mode="drop")
-                cnt_real = cnt_real + (active & (p < n_real_bits)).astype(jnp.int32)
-            p = jnp.where(active, p + length, p)
-            cnt = cnt + active.astype(jnp.int32)
-            return (p, cnt, cnt_real, slab) if emit else (p, cnt)
-
-        zeros = jnp.zeros(n_chunks, dtype=jnp.int32)
-        init = (entries, zeros, zeros, slab0) if emit else (entries, zeros)
-        out = jax.lax.while_loop(cond, body, init)
-        return out  # (exits, counts[, counts_real, slab])
+    pass_fn = make_chunk_pass(
+        words, lut_flat, chunk_ends, n_real_bits, lookup_bits, levels, max_syms
+    )
 
     # --- sync passes to a fixed point of entry offsets ---
     def sync_cond(state):

@@ -7,13 +7,17 @@ test strategy (SURVEY.md §4). Bench runs (bench.py) use the real chip instead.
 import os
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env may point at a TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# The environment's sitecustomize may have initialized a TPU backend at
+# interpreter startup; re-point JAX at the virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 
 # Persist compiled executables across test runs (first run pays the XLA
 # compile cost; subsequent runs are fast).

@@ -1,0 +1,52 @@
+"""Multi-device sharded codec on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from entreepy_tpu.format import compress_host
+from entreepy_tpu.parallel import compress_sharded, decompress_sharded, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_compress_matches_host(midsummer, mesh8):
+    assert compress_sharded(midsummer, mesh8, block_bytes=4096) == compress_host(midsummer)
+
+
+def test_sharded_roundtrip(midsummer, mesh8):
+    et = compress_sharded(midsummer, mesh8, block_bytes=8192)
+    assert decompress_sharded(et, mesh8) == midsummer
+
+
+def test_sharded_decode_of_host_stream(macbeth, mesh8):
+    # decode path must handle streams it didn't produce
+    assert decompress_sharded(compress_host(macbeth), mesh8, chunk_bits=128) == macbeth
+
+
+def test_sharded_small_input_fewer_blocks_than_devices(mesh8):
+    data = b"hello hello hello"
+    et = compress_sharded(data, mesh8, block_bytes=1 << 20)
+    assert et == compress_host(data)
+    assert decompress_sharded(et, mesh8) == data
+
+
+def test_sharded_random(mesh8):
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    et = compress_sharded(data, mesh8, block_bytes=16384)
+    assert et == compress_host(data)
+    assert decompress_sharded(et, mesh8, chunk_bits=2048) == data
+
+
+def test_mesh_subset_sizes(midsummer):
+    for n in (1, 2, 4):
+        mesh = make_mesh(n)
+        et = compress_sharded(midsummer, mesh, block_bytes=16384)
+        assert et == compress_host(midsummer)
+        assert decompress_sharded(et, mesh) == midsummer

@@ -1,0 +1,236 @@
+"""entreepy-compatible command-line interface.
+
+Mirrors the reference CLI surface (``main.zig:42-173``): commands ``c``/``d``,
+cluster-able short flags ``-p/-t/-d/-o`` (plus ``-h``), long forms
+``--print/--test/--debug/--output/--help``, default output naming
+(compress -> ``{in}.et``; decompress -> ``decoded_{basename minus .et}`` in
+the input's directory, ``main.zig:154-170``), the ``orig => compressed`` size
+summary on stderr, the ``-d`` dictionary dump / timing / bit count, and the
+two-theme progress bar.
+
+Improvements over the reference (documented divergences):
+* magic + version are VALIDATED before decode (the reference strips them
+  unchecked — its own TODO at ``main.zig:199``); corrupt input exits 1 with
+  a clear message instead of decoding garbage.
+* no segfault when generating default output names (``main.zig:154`` FIXME).
+* large inputs run block-parallel on the TPU automatically.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import PurePath
+
+from . import api
+from .format import DegenerateInputError, FormatError
+from .utils.fmt import format_file_size
+from .utils.progress import ProgressBar
+
+HELP_TEXT = """Entreepy TPU - text compression framework
+
+Usage: entreepy [options] [command] [file] [command options]
+
+Options:
+    -h, --help     show help
+    -p, --print    print decompressed text to stdout
+    -t, --test     test/dry run, does not write to file
+    -d, --debug    print huffman code dictionary and performance times to stdout
+
+Commands:
+    c    compress a file
+    d    decompress a file
+
+Command Options:
+    -o, --output    output file (default: [file].et or decoded_[file])
+
+Examples:
+    entreepy -d c text.txt -o text.txt.et
+    entreepy -ptd d text.txt.et -o decoded_text.txt
+"""
+
+
+class CliError(Exception):
+    """Invalid command line; message already user-formatted."""
+
+
+@dataclass
+class Options:
+    print_output: bool = False
+    debug: bool = False
+    dry: bool = False
+    mode: str = "none"  # none | compress | decompress
+    file_in: str = ""
+    file_out: str = ""
+    backend: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+LONG_FLAGS = {"help", "print", "debug", "test", "output"}
+
+
+def parse_args(argv: list[str]) -> Options:
+    """argv (without program name) -> Options. Raises CliError; mode='none'
+    with no error means help was requested/printed-by-caller."""
+    opts = Options()
+    if not argv:
+        return opts  # help
+
+    state = "normal"  # normal | in_path | out_path
+    for arg in argv:
+        if state == "in_path":
+            opts.file_in = arg
+            state = "normal"
+            continue
+        if state == "out_path":
+            opts.file_out = arg
+            state = "normal"
+            continue
+        if arg.startswith("--"):
+            name = arg[2:]
+            if name == "help":
+                opts.mode = "none"
+                opts.extra["help"] = True
+                return opts
+            if name == "print":
+                opts.print_output = True
+            elif name == "debug":
+                opts.debug = True
+            elif name == "test":
+                opts.dry = True
+            elif name == "output":
+                state = "out_path"
+            else:
+                raise CliError(f"invalid option: {arg}")
+        elif arg.startswith("-"):
+            for c in arg[1:]:
+                if c == "h":
+                    opts.mode = "none"
+                    opts.extra["help"] = True
+                    return opts
+                if c == "p":
+                    opts.print_output = True
+                elif c == "d":
+                    opts.debug = True
+                elif c == "t":
+                    opts.dry = True
+                elif c == "o":
+                    state = "out_path"
+                else:
+                    raise CliError(f"invalid option: {arg}")
+        elif arg in ("c", "d"):
+            opts.mode = "compress" if arg == "c" else "decompress"
+            state = "in_path"
+        else:
+            raise CliError(f"invalid command: {arg}")
+
+    if opts.mode != "none" and not opts.file_in:
+        raise CliError("no input file")
+
+    if opts.mode != "none" and not opts.file_out:
+        opts.file_out = default_output_name(opts.mode, opts.file_in)
+    return opts
+
+
+def default_output_name(mode: str, file_in: str) -> str:
+    """Reference naming (``main.zig:154-170``), minus its Linux segfault."""
+    if mode == "compress":
+        return file_in + ".et"
+    p = PurePath(file_in)
+    name = p.name
+    if name.endswith(".et"):
+        name = name[: -len(".et")]
+    return str(p.parent / f"decoded_{name}") if str(p.parent) != "." else f"decoded_{name}"
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        opts = parse_args(argv)
+    except CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    if opts.mode == "none":
+        sys.stdout.write(HELP_TEXT)
+        return 0
+
+    try:
+        data = open(opts.file_in, "rb").read()
+    except OSError as e:
+        print(f"error: cannot read {opts.file_in}: {e.strerror}", file=sys.stderr)
+        return 1
+
+    encode = opts.mode == "compress"
+    bar = ProgressBar(theme=0 if encode else 1)
+    show_bar = not opts.print_output and (not opts.debug if encode else True)
+    if not show_bar:
+        bar.enabled = False
+    bar.start()
+    bar.update(5, "Reading file..." if encode else "Reading file header...")
+
+    t0 = time.perf_counter_ns()
+    try:
+        if encode:
+            bar.update(20, "Counting characters...")
+            out = api.compress(data, backend=opts.backend)
+            bar.update(90, "Writing compressed text...")
+        else:
+            bar.update(20, "Decoding text...")
+            out = api.decompress(data, backend=opts.backend)
+            bar.update(90, "Writing decoded text...")
+    except (FormatError, DegenerateInputError, ValueError) as e:
+        bar.finish("Failed.")
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    elapsed_us = (time.perf_counter_ns() - t0) // 1000
+
+    if not opts.dry:
+        try:
+            with open(opts.file_out, "wb") as f:
+                f.write(out)
+        except OSError as e:
+            bar.finish("Failed.")
+            print(f"error: cannot write {opts.file_out}: {e.strerror}", file=sys.stderr)
+            return 1
+
+    bar.finish("Done compressing!" if encode else "Done decompressing!")
+
+    if opts.print_output and not encode:
+        sys.stdout.buffer.write(out)
+        sys.stdout.flush()
+
+    if opts.debug:
+        if encode:
+            _dump_dictionary(data)
+            print(f"bits in output: {len(out) * 8}")
+        print(f"time taken: {elapsed_us}μs")
+
+    print(
+        f"{format_file_size(len(data))} => {format_file_size(len(out))}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _dump_dictionary(data: bytes) -> None:
+    """-d dict dump: one ``{char} {byte} - {code bits}`` line per symbol
+    (shape of ``encode.zig:205-211``)."""
+    from .format import build_code_table, histogram
+
+    try:
+        table = build_code_table(histogram(data))
+    except DegenerateInputError:
+        return
+    for sym in range(256):
+        length = int(table.lengths[sym])
+        if length == 0:
+            continue
+        bits = format(int(table.codes[sym]), f"0{length}b")
+        ch = chr(sym) if 32 <= sym < 127 else "?"
+        print(f"{ch} {sym} - {bits}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""CLI parity tests: flag parsing, default names, round-trip through files,
+error paths, debug output, size summary."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from entreepy_tpu.cli import CliError, default_output_name, main, parse_args
+from entreepy_tpu.format import compress_host
+from entreepy_tpu.utils.fmt import format_file_size
+
+REPO = Path(__file__).parent.parent
+
+
+def run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "entreepy_tpu", *args],
+        capture_output=True,
+        text=False,
+        cwd=str(cwd),
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": str(REPO), "HOME": "/root",
+             "JAX_PLATFORMS": "cpu"},
+    )
+
+
+# --- pure parsing (fast) ---
+
+
+def test_parse_cluster_flags():
+    o = parse_args(["-ptd", "c", "in.txt", "-o", "out.et"])
+    assert (o.print_output, o.debug, o.dry) == (True, True, True)
+    assert o.mode == "compress" and o.file_in == "in.txt" and o.file_out == "out.et"
+
+
+def test_parse_long_flags():
+    o = parse_args(["--test", "--debug", "d", "x.et", "--output", "y.txt"])
+    assert o.dry and o.debug and o.mode == "decompress"
+    assert o.file_in == "x.et" and o.file_out == "y.txt"
+
+
+def test_parse_errors():
+    with pytest.raises(CliError, match="invalid option"):
+        parse_args(["-z", "c", "f"])
+    with pytest.raises(CliError, match="invalid option"):
+        parse_args(["--bogus"])
+    with pytest.raises(CliError, match="invalid command"):
+        parse_args(["compress", "f"])
+    with pytest.raises(CliError, match="no input file"):
+        parse_args(["c"])
+
+
+def test_default_output_names():
+    assert default_output_name("compress", "a/b/text.txt") == "a/b/text.txt.et"
+    assert default_output_name("decompress", "a/b/text.txt.et") == "a/b/decoded_text.txt"
+    assert default_output_name("decompress", "text.et") == "decoded_text"
+    assert default_output_name("decompress", "noext") == "decoded_noext"
+
+
+def test_help_on_no_args(capsys):
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "Usage: entreepy" in out and "-o, --output" in out
+
+
+def test_format_file_size():
+    assert format_file_size(477) == "477 B"
+    assert format_file_size(66312) == "64.76 KB"
+    assert format_file_size(5 * 1024 * 1024) == "5.00 MB"
+    assert format_file_size(3 * 1024**3) == "3.00 GB"
+
+
+# --- end-to-end through the real process ---
+
+
+def test_cli_roundtrip_files(tmp_path, macbeth):
+    src = tmp_path / "play.txt"
+    src.write_bytes(macbeth)
+    r = run_cli(["c", str(src)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    et = tmp_path / "play.txt.et"
+    assert et.read_bytes() == compress_host(macbeth)
+    assert b"=> 374 B" in r.stderr
+
+    r = run_cli(["d", str(et)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "decoded_play.txt").read_bytes() == macbeth
+
+
+def test_cli_print_and_dry(tmp_path, macbeth):
+    src = tmp_path / "p.txt"
+    src.write_bytes(macbeth)
+    (tmp_path / "p.txt.et").write_bytes(compress_host(macbeth))
+    r = run_cli(["-pt", "d", str(tmp_path / "p.txt.et")], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == macbeth  # -p prints decoded text
+    assert not (tmp_path / "decoded_p.txt").exists()  # -t wrote nothing
+
+
+def test_cli_debug_output(tmp_path, tiny_text):
+    src = tmp_path / "t.txt"
+    src.write_bytes(tiny_text)
+    r = run_cli(["-td", "c", str(src)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.decode()
+    assert "time taken:" in out and "bits in output:" in out
+    assert " - " in out  # dictionary lines
+
+
+def test_cli_corrupt_input(tmp_path):
+    bad = tmp_path / "bad.et"
+    bad.write_bytes(b"this is not an et file at all")
+    r = run_cli(["d", str(bad)], tmp_path)
+    assert r.returncode == 1
+    assert b"bad magic" in r.stderr
+
+
+def test_cli_missing_file(tmp_path):
+    r = run_cli(["c", "nope.txt"], tmp_path)
+    assert r.returncode == 1
+    assert b"cannot read" in r.stderr

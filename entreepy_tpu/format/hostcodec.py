@@ -30,6 +30,13 @@ def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
     data = np.asarray(data, dtype=np.uint8)
     if data.size == 0:
         return b"", 0
+
+    from .. import runtime
+
+    native = runtime.pack_body(data, table.codes, table.lengths)
+    if native is not None:
+        return native
+
     lens = table.lengths[data].astype(np.int64)
     if (lens == 0).any():
         bad = int(data[lens == 0][0])
@@ -59,6 +66,12 @@ def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
 
 def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     """Serial LUT decode of a packed body → uint8[n_symbols]."""
+    from .. import runtime
+
+    native = runtime.unpack_body(body, lut.flat, lut.lookup_bits, n_symbols)
+    if native is not None:
+        return native
+
     buf = np.frombuffer(body, dtype=np.uint8)
     # Zero-pad so any 32-bit window read beyond the stream end is valid.
     padded = np.zeros(((buf.size + 3) // 4 + 2) * 4, dtype=np.uint8)

@@ -1,101 +1,152 @@
-"""Device-side encode kernels: histogram, per-block bit sizing, and the
-prefix-sum + scatter bit-packer.
+"""Device-side encode: histogram + block-parallel bit packing, gather-free.
 
 TPU-first replacement for the reference's serial hot loop
-(``encode.zig:301-319``: one ``writeBits(..., 1)`` call per output bit).
-Here every symbol's absolute bit offset comes from an exclusive prefix sum of
-code lengths — a parallel scan — and each code is deposited into at most two
-consecutive big-endian u32 words with a scatter-add (codes never overlap, so
-add == bitwise-or). All arithmetic is uint32 (no x64 dependency); shift
-amounts are clamped to [0, 31] because XLA leaves >= bitwidth shifts
-undefined.
+(``encode.zig:301-319``: one ``writeBits(..., 1)`` call per output bit) that
+also avoids XLA gathers/scatters, which serialize per element on TPU:
 
-Blocks are independent: block b packs into ``payload[b, :cap_words]`` and
-reports its exact bit length, so blocks shard cleanly across TPU cores and
-the final streams are stitched at bit granularity afterwards (host or
-device). Within a block the pack is bit-exact with the reference's single
-serial stream.
+* per-byte (code, length) lookup = ``onehot(byte) @ code_table`` — a
+  [lanes, 256] x [256, 5] bf16 matmul on the MXU. The 32-bit code is split
+  into four 8-bit limb columns so every table value is <= 255 and bf16
+  accumulation is exact.
+* blocks = vector lanes; ``lax.scan`` walks the byte columns (a reshape, not
+  a gather) carrying a 64-bit accumulator (two u32 halves) per lane. A full
+  u32 word is emitted *densely* per (step, lane) with a flag; the host
+  runtime compacts flagged words into the per-block payloads.
+
+Within a block the pack is bit-exact with the reference's single serial
+stream; independent blocks shard across TPU cores and are stitched at bit
+granularity afterwards (utils/stitch.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_ONE = jnp.uint32(1)
-
-
-@partial(jax.jit, static_argnames=("valid_len",))
-def histogram_device(data: jax.Array, valid_len: int) -> jax.Array:
-    """256-bin histogram of ``data[:valid_len]`` (uint8, padded) -> int32[256]."""
-    counts = jnp.bincount(data.astype(jnp.int32), length=256)
-    pad = data.shape[0] - valid_len
-    return counts.at[0].add(-pad)
+HIST_COLS = 4096  # bytes per histogram scan step
 
 
 @jax.jit
-def block_bit_lengths(blocks: jax.Array, valid: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Exact packed bit length of each block.
+def histogram_device(data: jax.Array, valid_len: jax.Array) -> jax.Array:
+    """256-bin histogram of ``data[:valid_len]`` -> int32[256].
 
-    blocks: uint8[n_blocks, block_bytes] (zero-padded), valid: int32[n_blocks]
-    count of real bytes per block, lengths: uint32[256] per-symbol code length.
+    ``data`` is uint8, zero-padded to a multiple of HIST_COLS. Compare-reduce
+    over byte columns instead of bincount: XLA lowers bincount to a scatter,
+    which serializes on TPU.
     """
-    lens = lengths[blocks]  # [n_blocks, block_bytes] gather
-    idx = jax.lax.broadcasted_iota(jnp.int32, blocks.shape, 1)
-    lens = jnp.where(idx < valid[:, None], lens, 0)
-    return jnp.sum(lens.astype(jnp.int32), axis=1)
+    cols = data.reshape(-1, HIST_COLS)
+    sym = jnp.arange(256, dtype=jnp.int32)
+
+    def step(acc, row):
+        return acc + jnp.sum(row[:, None].astype(jnp.int32) == sym[None, :], axis=0), None
+
+    counts, _ = jax.lax.scan(step, jnp.zeros(256, jnp.int32), cols)
+    pad = data.shape[0] - valid_len
+    return counts.at[0].add(-pad.astype(jnp.int32))
 
 
-def pack_blocks_core(
-    blocks: jax.Array,  # uint8[n_blocks, block_bytes] zero-padded
-    valid: jax.Array,  # int32[n_blocks]
-    codes: jax.Array,  # uint32[256]
-    lengths: jax.Array,  # uint32[256]
-    cap_words: int,
-) -> tuple[jax.Array, jax.Array]:
+def code_table_cols(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """[256, 5] float32 columns: code length + 4 big-endian byte limbs of the
+    right-aligned 32-bit code. All values <= 255 -> exact in bf16 matmuls."""
+    t = np.zeros((256, 5), dtype=np.float32)
+    t[:, 0] = lengths
+    for i in range(4):
+        t[:, 1 + i] = (codes >> (24 - 8 * i)) & 0xFF
+    return t
+
+
+def pack_blocks_scan(
+    blocks: jax.Array,  # uint8[lanes, steps] zero-padded
+    valid: jax.Array,  # int32[lanes] real byte count per block
+    codetbl: jax.Array,  # bf16[256, 5] from code_table_cols
+):
     """Pack every block independently (traceable core — also used per-shard
     inside shard_map by the multi-device path).
 
-    Returns (payload uint32[n_blocks, cap_words] big-endian bit order,
-    bit_lens int32[n_blocks]). ``cap_words`` must be >= ceil(max block bit
-    length / 32) + 1; the +1 slack word absorbs the final code's low-word
-    spill so blocks never write into a neighbour's row.
+    Returns (words uint32[lanes, steps] — dense emission slots, emitted
+    bool[lanes, steps], acc uint32[lanes] — final partial word MSB-aligned,
+    nbits int32[lanes] — bits held in acc). Block b's bitstream is its
+    flagged words in step order followed by nbits of acc.
     """
-    n_blocks, block_bytes = blocks.shape
+    lanes, steps = blocks.shape
+    sym = jnp.arange(256, dtype=jnp.int32)
+    xs = (blocks.T.astype(jnp.int32), jnp.arange(steps, dtype=jnp.int32))
 
-    code = codes[blocks].astype(U32)
-    lens = lengths[blocks].astype(U32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, blocks.shape, 1)
-    mask = idx < valid[:, None]
-    code = jnp.where(mask, code, 0)
-    lens = jnp.where(mask, lens, 0)
+    def step(carry, x):
+        acc_hi, acc_lo, nbits = carry
+        byte, j = x
+        oh = (byte[:, None] == sym[None, :]).astype(jnp.bfloat16)
+        vals = jnp.dot(oh, codetbl, preferred_element_type=jnp.float32)
+        live = j < valid
+        length = jnp.where(live, vals[:, 0].astype(jnp.int32), 0)
+        limbs = vals[:, 1:5].astype(U32)
+        code = jnp.where(
+            live,
+            (limbs[:, 0] << 24) | (limbs[:, 1] << 16) | (limbs[:, 2] << 8) | limbs[:, 3],
+            jnp.uint32(0),
+        )
 
-    ends = jnp.cumsum(lens.astype(jnp.int32), axis=1)
-    bit_lens = ends[:, -1]
-    offs = ends - lens.astype(jnp.int32)  # exclusive prefix sum
+        s = nbits + length  # <= 63
+        fits = s <= 32
+        hi = jnp.where(
+            fits,
+            code << jnp.clip(32 - s, 0, 31).astype(U32),
+            code >> jnp.clip(s - 32, 0, 31).astype(U32),
+        )
+        lo = jnp.where(fits, jnp.uint32(0), code << jnp.clip(64 - s, 0, 31).astype(U32))
+        acc_hi = acc_hi | hi
+        acc_lo = acc_lo | lo
 
-    word_in_block = offs >> 5
-    bitpos = (offs & 31).astype(U32)
+        emit = s >= 32
+        word = acc_hi
+        acc_hi = jnp.where(emit, acc_lo, acc_hi)
+        acc_lo = jnp.where(emit, jnp.uint32(0), acc_lo)
+        nbits = jnp.where(emit, s - 32, s)
+        return (acc_hi, acc_lo, nbits), (word, emit)
 
-    # Deposit each code into a 64-bit window starting at word_in_block's MSB,
-    # split into (hi, lo) u32 halves with clamped shifts.
-    l_plus_p = lens + bitpos
-    fits_hi = l_plus_p <= 32
-    sh_hi = jnp.clip(jnp.where(fits_hi, 32 - l_plus_p, 0), 0, 31).astype(U32)
-    sh_dn = jnp.clip(jnp.where(fits_hi, 0, l_plus_p - 32), 0, 31).astype(U32)
-    sh_lo = jnp.clip(jnp.where(fits_hi, 0, 64 - l_plus_p), 0, 31).astype(U32)
-    hi = jnp.where(fits_hi, code << sh_hi, code >> sh_dn)
-    lo = jnp.where(fits_hi, jnp.uint32(0), code << sh_lo)
-
-    flat_base = jax.lax.broadcasted_iota(jnp.int32, blocks.shape, 0) * cap_words
-    flat_idx = flat_base + word_in_block
-    words = jnp.zeros((n_blocks * cap_words,), dtype=U32)
-    words = words.at[flat_idx].add(hi, mode="drop")
-    words = words.at[flat_idx + 1].add(lo, mode="drop")
-    return words.reshape(n_blocks, cap_words), bit_lens
+    zero_u = jnp.zeros(lanes, U32)
+    init = (zero_u, zero_u, jnp.zeros(lanes, jnp.int32))
+    (acc_hi, _, nbits), (words, emitted) = jax.lax.scan(step, init, xs)
+    return words.T, emitted.T, acc_hi, nbits
 
 
-pack_blocks = jax.jit(pack_blocks_core, static_argnames=("cap_words",))
+pack_blocks_jit = jax.jit(pack_blocks_scan)
+
+
+def assemble_payloads(
+    words: np.ndarray, emitted: np.ndarray, acc: np.ndarray, nbits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host compaction of the dense emission slots.
+
+    Returns (payload uint32[lanes, cap_words] — each row the block's packed
+    stream, bit_lens int64[lanes]). Dispatches to the C++ runtime
+    (entreepy_tpu/runtime) when available, else vectorized numpy.
+    """
+    from .. import runtime
+
+    native = runtime.assemble_payloads(words, emitted, acc, nbits)
+    if native is not None:
+        return native
+    return _assemble_payloads_np(words, emitted, acc, nbits)
+
+
+def _assemble_payloads_np(
+    words: np.ndarray, emitted: np.ndarray, acc: np.ndarray, nbits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    lanes, steps = emitted.shape
+    counts = emitted.sum(axis=1).astype(np.int64)
+    bit_lens = (counts * 32 + nbits).astype(np.int64)
+    cap = int(counts.max()) + 1 if lanes else 1
+
+    payload = np.zeros((lanes, cap), dtype=np.uint32)
+    rows, _ = np.nonzero(emitted)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(rows.size, dtype=np.int64) - starts[rows]
+    payload[rows, within] = words[emitted]
+    payload[np.arange(lanes), counts] = acc  # final partial word (nbits bits)
+    return payload, bit_lens.astype(np.int64)

@@ -1,34 +1,31 @@
-"""Parallel decode of a serial Huffman bitstream — self-synchronizing chunks.
+"""Chunk-parallel Huffman decode as an MXU one-hot-matmul FSM scan.
 
 The reference decodes one symbol at a time through a u32 shift register and a
 hash probe per candidate length (``decode.zig:143-203``, ~0.44 MB/s). A
-Huffman stream has no block structure, so a parallel decoder must break the
-bit-offset dependency chain. We use the self-synchronization property of
-prefix codes (the approach GPU decoders use — see PAPERS.md, "Revisiting
-Huffman Coding", arXiv:2010.10039):
+TPU-native decoder must avoid both the serial bit cursor and per-element
+gathers (XLA TPU gathers serialize at ~50-100ns/element). Design:
 
-1. Split the body into fixed ``chunk_bits`` chunks. Chunk 0's first codeword
-   starts at bit 0; every other chunk *guesses* its entry offset (initially
-   its own start bit).
-2. Each chunk decodes independently from its entry offset until the next
-   codeword would start at or past the chunk's end, recording its *exit* bit
-   position (the first codeword boundary in the next chunk) and symbol count.
-3. Sync: chunk i+1's entry := chunk i's exit. Repeat from 2 until entries
-   reach a fixed point. Correctness: after pass k the first k+1 chunks have
-   exactly correct entries, so at most n_chunks passes; prefix codes
-   self-synchronize, so in practice almost all chunks lock on in pass 1 and
-   the loop exits after ~2-3 passes.
-4. Emit: one final pass writes each chunk's symbols into a fixed-capacity
-   slab; an exclusive prefix sum of counts + a searchsorted gather compacts
-   the slab into the output (the reference's per-symbol count stop,
-   ``decode.zig:170-174``, becomes a slice).
+1. The body bitstream is split into fixed-size chunks of ``K`` 4-bit nibbles;
+   chunk := one vector lane. Nibble columns come from a reshape, so the inner
+   loop has NO gather/scatter at all.
+2. Decoding is a finite-state machine over nibbles (format/fsm.py): state =
+   tree node id (< 256). One step for all lanes is
+   ``onehot(states) @ T`` — a [lanes, 256] x [256, 96] bf16 matmul (exact:
+   every value <= 255) plus a 16-wide one-hot select. ``lax.scan`` over the
+   K nibble columns keeps shapes static and lets XLA pipeline the matmuls.
+3. Chunks after the first start mid-codeword with an unknown state. Prefix
+   codes self-synchronize, so we iterate to a fixed point of chunk *entry
+   states*: pass k feeds chunk i's exit state into chunk i+1's entry; after
+   pass k the first k+1 chunks are exact, and in practice all chunks lock on
+   in 2-3 passes (cf. PAPERS.md, "Revisiting Huffman Coding",
+   arXiv:2010.10039 — same principle, bit-offset-based, on GPUs).
+4. The emission pass writes up to 4 symbols per (lane, step) densely packed
+   in one u32 + a count; the host (numpy/C++ runtime) compacts the
+   variable-length runs — the reference's per-symbol count stop
+   (``decode.zig:170-174``) becomes a slice of the compacted stream.
 
-Symbol resolution is a multi-level dense-LUT walk (format/lut.py): one gather
-resolves any code of <= lookup_bits bits; longer codes descend into child
-tables (rare). Everything is uint32/int32 with clamped shifts — no x64.
-
-Per-call limit: bit positions are int32, so one decode call handles bodies
-< 2^31 bits (256 MiB); larger inputs shard across devices/calls first.
+Unlike the reference's decode map, this path handles NUL bytes and arbitrary
+code lengths <= 32 (see SURVEY.md §2 #7c for the reference's quirks).
 """
 
 from __future__ import annotations
@@ -41,150 +38,127 @@ import jax
 import jax.numpy as jnp
 
 from ..format.etformat import parse_header
+from ..format.fsm import COLS_PER_NIBBLE, N_STATES, NIBBLE_FANOUT, DecodeFsm, build_decode_fsm
 from ..format.huffman import CodeTable
-from ..format.lut import DecodeLut, build_decode_lut
 
 U32 = jnp.uint32
-DEFAULT_CHUNK_BITS = 4096
-
-
-def make_chunk_pass(
-    words, lut_flat, chunk_ends, n_real_bits, lookup_bits: int, levels: int, max_syms: int
-):
-    """Build the per-pass chunk decoder (traceable; also used per-shard inside
-    shard_map by the multi-device path, with the shard's own chunk_ends).
-
-    pass_fn(entries, emit=False) -> (exits, counts)
-    pass_fn(entries, emit=True)  -> (exits, counts, counts_real, slab)
-    """
-    n_chunks = chunk_ends.shape[0]
-
-    def pass_fn(entries, emit: bool):
-        slab0 = jnp.zeros((n_chunks, max_syms), dtype=jnp.uint8) if emit else None
-
-        def cond(state):
-            p = state[0]
-            return jnp.any(p < chunk_ends)
-
-        def body(state):
-            if emit:
-                p, cnt, cnt_real, slab = state
-            else:
-                p, cnt = state
-                cnt_real = slab = None
-            active = p < chunk_ends
-            sym, length = _lut_resolve(words, p, lut_flat, lookup_bits, levels)
-            if emit:
-                rows = jnp.arange(n_chunks, dtype=jnp.int32)
-                col = jnp.where(active, cnt, max_syms)  # inactive -> dropped
-                slab = slab.at[rows, col].set(sym.astype(jnp.uint8), mode="drop")
-                cnt_real = cnt_real + (active & (p < n_real_bits)).astype(jnp.int32)
-            p = jnp.where(active, p + length, p)
-            cnt = cnt + active.astype(jnp.int32)
-            return (p, cnt, cnt_real, slab) if emit else (p, cnt)
-
-        zeros = jnp.zeros(n_chunks, dtype=jnp.int32)
-        init = (entries, zeros, zeros, slab0) if emit else (entries, zeros)
-        return jax.lax.while_loop(cond, body, init)
-
-    return pass_fn
-
-
-def _fetch32(words: jax.Array, p: jax.Array) -> jax.Array:
-    """32 stream bits starting at bit position p (u32, big-endian bit order)."""
-    w0 = words[p >> 5]
-    w1 = words[(p >> 5) + 1]
-    sh = (p & 31).astype(U32)
-    lo = jnp.where(sh == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - sh) & 31))
-    return (w0 << sh) | lo
-
-
-def _lut_resolve(words, p, lut_flat, lookup_bits: int, levels: int):
-    """Resolve one symbol at bit p for every lane. Returns (sym u32, len i32).
-
-    Unrolled static walk over LUT levels; invalid windows (corrupt stream or
-    trailing pad bits) resolve to (0, 1) so the automaton always advances.
-    """
-    fanout = 1 << lookup_bits
-    tid = jnp.zeros_like(p)
-    entry = jnp.zeros_like(p)  # 0 = unresolved/invalid
-    done = jnp.zeros(p.shape, dtype=bool)
-    for lvl in range(levels):
-        win = _fetch32(words, p + lvl * lookup_bits)
-        idx = (win >> (32 - lookup_bits)).astype(jnp.int32)
-        cand = lut_flat[tid * fanout + idx]
-        entry = jnp.where(done, entry, jnp.maximum(cand, 0))
-        newly_done = cand >= 0  # terminal (>0) or invalid (0)
-        tid = jnp.where(done | newly_done, tid, -cand)
-        done = done | newly_done
-    sym = (entry & 0xFF).astype(U32)
-    length = jnp.where(entry > 0, entry >> 8, 1).astype(jnp.int32)
-    return sym, length
-
-
-@partial(
-    jax.jit,
-    static_argnames=("chunk_bits", "lookup_bits", "levels", "max_syms", "n_out"),
-)
-def decode_chunked(
-    words: jax.Array,  # uint32[n_words] body (+2 pad words), BE bit order
-    lut_flat: jax.Array,  # int32[num_tables * 2**lookup_bits]
-    n_symbols: jax.Array,  # int32 scalar: symbols to decode
-    n_real_bits: jax.Array,  # int32 scalar: actual (unpadded) body bits
-    chunk_bits: int,
-    lookup_bits: int,
-    levels: int,
-    max_syms: int,  # static cap on symbols per chunk (chunk_bits // min_len + 1)
-    n_out: int,  # static output capacity (>= n_symbols)
-):
-    """Decode the whole body.
-
-    Returns (out uint8[n_out], total_real i32) where total_real counts only
-    symbols whose codeword starts inside the real stream — a truncated body
-    yields total_real < n_symbols, which callers turn into an error (the
-    reference trusts the header instead; ``main.zig:199`` TODO).
-    """
-    n_words = words.shape[0] - 2
-    n_chunks = (n_words * 32) // chunk_bits
-    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_bits
-    chunk_ends = chunk_starts + chunk_bits
-    pass_fn = make_chunk_pass(
-        words, lut_flat, chunk_ends, n_real_bits, lookup_bits, levels, max_syms
-    )
-
-    # --- sync passes to a fixed point of entry offsets ---
-    def sync_cond(state):
-        entries, prev = state
-        return jnp.any(entries != prev)
-
-    def sync_body(state):
-        entries, _ = state
-        exits, _ = pass_fn(entries, emit=False)
-        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-        return new_entries, entries
-
-    entries0 = chunk_starts
-    entries, _ = jax.lax.while_loop(
-        sync_cond, sync_body, (entries0, entries0 - 1)
-    )
-
-    # --- emission pass + compaction ---
-    _, counts, counts_real, slab = pass_fn(entries, emit=True)
-    ends = jnp.cumsum(counts)
-    starts = ends - counts
-    total_real = jnp.sum(counts_real)
-
-    k = jnp.arange(n_out, dtype=jnp.int32)
-    chunk_of = jnp.searchsorted(ends, k, side="right").astype(jnp.int32)
-    chunk_of = jnp.minimum(chunk_of, n_chunks - 1)
-    j = jnp.clip(k - starts[chunk_of], 0, max_syms - 1)
-    out = slab[chunk_of, j]
-    out = jnp.where(k < n_symbols, out, 0).astype(jnp.uint8)
-    return out, jnp.minimum(total_real, n_symbols)
+DEFAULT_CHUNK_BITS = 4096  # K = 1024 nibbles per chunk
+MAX_SYNC_PASSES = 24
 
 
 def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
+
+
+def words_to_nibbles(words: jax.Array, lanes: int, k: int) -> jax.Array:
+    """uint32[lanes * k/8] (big-endian bit order) -> int32[lanes, k] nibbles."""
+    shifts = jnp.arange(28, -1, -4, dtype=U32)  # MSB nibble first
+    nib = (words.reshape(lanes, k // 8)[..., None] >> shifts) & jnp.uint32(0xF)
+    return nib.reshape(lanes, k).astype(jnp.int32)
+
+
+def _fsm_step(table_2d, n_cols: int, state, nibble):
+    """One FSM transition for every lane. table_2d: bf16[256, 16*n_cols]."""
+    lanes = state.shape[0]
+    oh = (state[:, None] == jnp.arange(N_STATES, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    row = jnp.dot(oh, table_2d, preferred_element_type=jnp.float32)
+    row = row.reshape(lanes, NIBBLE_FANOUT, n_cols)
+    sel = (nibble[:, None] == jnp.arange(NIBBLE_FANOUT, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    return jnp.sum(row * sel[:, :, None], axis=1)  # [lanes, n_cols]
+
+
+@partial(jax.jit, static_argnames=("max_passes",))
+def fsm_decode(nibbles, table_full, table_sync, n_real_lanes, max_passes: int = MAX_SYNC_PASSES):
+    """Decode all chunks.
+
+    nibbles: int32[lanes, K]; table_full: bf16[256, 16*6]; table_sync:
+    bf16[256, 16] (next-state column only); n_real_lanes: i32 scalar — lanes
+    beyond it are power-of-two bucketing pad, whose all-zero content need not
+    (and in general does not) self-synchronize, so they are excluded from the
+    fixed-point test. Returns (packed uint32[lanes, K] — up to 4 symbols
+    MSB-first per step, counts int32[lanes, K], unconverged bool — True if
+    the real lanes' entry states did not reach a fixed point within
+    ``max_passes``; callers fall back to the exact host decoder then).
+    """
+    lanes, k = nibbles.shape
+    xs = nibbles.T  # [K, lanes] — scan feeds one nibble column per step
+    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+
+    def sync_step(state, x):
+        vals = _fsm_step(table_sync, 1, state, x)
+        return vals[:, 0].astype(jnp.int32), None
+
+    def sync_pass(entries):
+        exits, _ = jax.lax.scan(sync_step, entries, xs)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+
+    def changed(entries, prev):
+        return jnp.any(jnp.logical_and(entries != prev, real))
+
+    def cond(c):
+        entries, prev, it = c
+        return jnp.logical_and(it < max_passes, changed(entries, prev))
+
+    def body(c):
+        entries, _, it = c
+        return sync_pass(entries), entries, it + 1
+
+    entries0 = jnp.zeros(lanes, dtype=jnp.int32)
+    entries, prev, _ = jax.lax.while_loop(
+        cond, body, (sync_pass(entries0), entries0 - 1, jnp.int32(0))
+    )
+    unconverged = changed(entries, prev)
+
+    def emit_step(state, x):
+        vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)
+        new_state = vals[:, 0].astype(jnp.int32)
+        count = vals[:, 1].astype(jnp.int32)
+        syms = vals[:, 2:6].astype(U32)
+        packed = (
+            (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
+        )
+        return new_state, (packed, count)
+
+    _, (packed, counts) = jax.lax.scan(emit_step, entries, xs)
+    return packed.T, counts.T, unconverged
+
+
+def compact_symbols(
+    packed: np.ndarray, counts: np.ndarray, n_symbols: int, n_real_nibbles: int
+) -> np.ndarray:
+    """Host compaction: [lanes, K] packed/counts -> uint8[n_symbols] in stream
+    order (dispatching to the C++ runtime when available). Raises if fewer
+    than ``n_symbols`` symbols completed inside the real (unpadded) nibble
+    region — the flat slot order is the nibble order, so the real region is
+    exactly the first ``n_real_nibbles`` slots."""
+    from .. import runtime
+
+    pf = np.ascontiguousarray(packed.reshape(-1), dtype=np.uint32)
+    cf = np.ascontiguousarray(counts.reshape(-1), dtype=np.int32)
+    n_real = min(n_real_nibbles, cf.size)
+
+    real = runtime.sum_counts(cf[:n_real])
+    if real is None:
+        real = int(cf[:n_real].sum())
+    if real < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {real} of {n_symbols} symbols"
+        )
+
+    native = runtime.compact_symbols(pf, cf, n_symbols)
+    if native is not None:
+        return native
+    syms4 = np.empty((pf.size, 4), dtype=np.uint8)
+    syms4[:, 0] = (pf >> 24) & 0xFF
+    syms4[:, 1] = (pf >> 16) & 0xFF
+    syms4[:, 2] = (pf >> 8) & 0xFF
+    syms4[:, 3] = pf & 0xFF
+    mask = np.arange(4, dtype=np.int32)[None, :] < cf[:, None]
+    return syms4[mask][:n_symbols]
 
 
 def decode_body_device(
@@ -193,54 +167,53 @@ def decode_body_device(
     n_symbols: int,
     *,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
-    lut: DecodeLut | None = None,
+    fsm: DecodeFsm | None = None,
 ) -> np.ndarray:
     """Decode a packed body with ``table`` -> uint8[n_symbols] (host array)."""
     if n_symbols == 0:
         return np.zeros(0, dtype=np.uint8)
-    lut = lut or build_decode_lut(table)
-    buf = np.frombuffer(body, dtype=np.uint8) if isinstance(body, (bytes, bytearray, memoryview)) else np.asarray(body, dtype=np.uint8)
+    fsm = fsm or build_decode_fsm(table)
+    buf = (
+        np.frombuffer(body, dtype=np.uint8)
+        if isinstance(body, (bytes, bytearray, memoryview))
+        else np.asarray(body, dtype=np.uint8)
+    )
 
-    # Pad the stream to a whole number of chunks (bucketed), +2 slack words so
-    # every _fetch32 within the last chunk (and LUT walk lookahead) is in range.
-    chunk_words = chunk_bits // 32
-    n_chunks = _bucket(max(1, -(-buf.size * 8 // chunk_bits)))
-    n_words = n_chunks * chunk_words
-    padded = np.zeros((n_words + 2) * 4, dtype=np.uint8)
+    k = chunk_bits // 4  # nibbles per chunk
+    chunk_bytes = chunk_bits // 8
+    n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    lanes = _bucket(n_real_lanes)
+    padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
     words = jnp.asarray(padded.view(">u4").astype(np.uint32))
 
-    # LUT flat array bucketed so table-count changes don't recompile.
-    flat = lut.flat
-    cap = _bucket(flat.size)
-    if cap != flat.size:
-        flat = np.concatenate([flat, np.zeros(cap - flat.size, np.int32)])
-
-    levels = -(-lut.max_len // lut.lookup_bits)
-    max_syms = _bucket(chunk_bits // max(lut.min_len, 1) + 1)  # bucketed: fewer recompiles
-    n_out = _bucket(n_symbols)
-
-    out, total = decode_chunked(
-        words,
-        jnp.asarray(flat),
-        jnp.int32(n_symbols),
-        jnp.int32(buf.size * 8),
-        chunk_bits,
-        lut.lookup_bits,
-        levels,
-        max_syms,
-        n_out,
+    nibbles = words_to_nibbles(words, lanes, k)
+    packed, counts, unconverged = fsm_decode(
+        nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
     )
-    total = int(total)
-    if total < n_symbols:
-        raise ValueError(
-            f"bitstream ended early: decoded {total} of {n_symbols} symbols"
-        )
-    return np.asarray(out[:n_symbols])
+    if bool(unconverged):
+        # Pathologically periodic streams can defeat chunk self-sync; the
+        # exact serial host decoder is the always-correct fallback.
+        from .. import format as _fmt
+
+        lut = _fmt.build_decode_lut(table)
+        return _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+    return compact_symbols(
+        np.asarray(packed), np.asarray(counts), n_symbols, buf.size * 2
+    )
+
+
+def _table_bf16(fsm: DecodeFsm):
+    return jnp.asarray(fsm.table, dtype=jnp.bfloat16)
+
+
+def _table_sync_bf16(fsm: DecodeFsm):
+    t = fsm.table.reshape(N_STATES, NIBBLE_FANOUT, COLS_PER_NIBBLE)[:, :, :1]
+    return jnp.asarray(t.reshape(N_STATES, NIBBLE_FANOUT), dtype=jnp.bfloat16)
 
 
 def decompress_device(et: bytes, *, chunk_bits: int = DEFAULT_CHUNK_BITS) -> bytes:
-    """Complete .et file -> original bytes, decoded block-parallel on device."""
+    """Complete .et file -> original bytes, decoded chunk-parallel on device."""
     hdr = parse_header(et)
     out = decode_body_device(
         et[hdr.body_start :], hdr.table, hdr.body_len, chunk_bits=chunk_bits

@@ -1,17 +1,16 @@
-"""Single-device compress pipeline: device histogram + block pack, host code
-construction + stitch.
+"""Single-device compress pipeline: device histogram + block scan-pack, host
+code construction + stitch.
 
 Pipeline (TPU-first redesign of ``encode.zig:25-337``):
 
-1. device: 256-bin histogram of the input bytes
+1. device: 256-bin histogram of the input bytes (compare-reduce, no scatter)
 2. host:   exact deterministic code construction (tiny — 256 symbols)
-3. device: per-block exact bit lengths (gather + row sum)
-4. device: block-parallel prefix-sum + scatter bit pack
-5. host:   bit-granular stitch + header serialization
+3. device: block-parallel scan bit-pack (MXU one-hot code lookup + 64-bit
+           accumulator per lane, dense word emission — ops/bitpack.py)
+4. host:   compact emitted words, bit-granular stitch, header serialization
 
-The per-block payload capacity is data-dependent (max block bit length), so
-it is bucketed to limit recompiles: one compile per (n_blocks, block_bytes,
-cap_words bucket) triple.
+Block size here is a device-efficiency knob only — the stitched .et output
+is byte-identical for every block size (and to the host codec / reference).
 """
 
 from __future__ import annotations
@@ -20,10 +19,16 @@ import numpy as np
 
 from ..format.etformat import serialize_header
 from ..format.huffman import CodeTable, build_code_table
-from ..utils.stitch import split_blocks, stitch_words, words_to_bytes
-from .bitpack import block_bit_lengths, histogram_device, pack_blocks
+from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
+from .bitpack import (
+    HIST_COLS,
+    assemble_payloads,
+    code_table_cols,
+    histogram_device,
+    pack_blocks_jit,
+)
 
-DEFAULT_BLOCK_BYTES = 1 << 20
+DEFAULT_BLOCK_BYTES = 4096  # scan length; lanes = input_size / block_bytes
 
 
 def _bucket(n: int) -> int:
@@ -31,14 +36,26 @@ def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def histogram_on_device(arr: np.ndarray) -> np.ndarray:
+    """Histogram of a host byte array via the device compare-reduce kernel."""
+    import jax.numpy as jnp
+
+    n = _bucket(max(arr.size, HIST_COLS))
+    padded = np.zeros(n, dtype=np.uint8)
+    padded[: arr.size] = arr
+    return np.asarray(
+        histogram_device(jnp.asarray(padded), jnp.int32(arr.size)), dtype=np.int64
+    )
+
+
 def encode_blocks_device(
     arr: np.ndarray, table: CodeTable, block_bytes: int = DEFAULT_BLOCK_BYTES
 ):
     """Pack ``arr`` (uint8[n]) block-parallel on device.
 
-    Returns (payload uint32[n_blocks, cap_words] on device, bit_lens int32
-    numpy). Stitching is left to the caller so multi-device paths can reuse
-    this per shard.
+    Returns (payload uint32[n_blocks, cap_words] numpy, bit_lens int64).
+    Stitching is left to the caller so multi-device paths can reuse this per
+    shard.
     """
     import jax.numpy as jnp
 
@@ -50,31 +67,24 @@ def encode_blocks_device(
         pad = n_bucket - blocks_np.shape[0]
         blocks_np = np.concatenate([blocks_np, np.zeros((pad, block_bytes), np.uint8)])
         valid_np = np.concatenate([valid_np, np.zeros(pad, np.int32)])
-    blocks = jnp.asarray(blocks_np)
-    valid = jnp.asarray(valid_np)
-    codes = jnp.asarray(table.codes)
-    lengths = jnp.asarray(table.lengths.astype(np.uint32))
 
-    bit_lens = np.asarray(block_bit_lengths(blocks, valid, lengths))
-    max_bits = int(bit_lens.max()) if bit_lens.size else 0
-    cap_words = _bucket(max_bits // 32 + 2)
-    payload, bit_lens_dev = pack_blocks(blocks, valid, codes, lengths, cap_words)
-    return payload, np.asarray(bit_lens_dev)
+    codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
+    words, emitted, acc, nbits = pack_blocks_jit(
+        jnp.asarray(blocks_np), jnp.asarray(valid_np), codetbl
+    )
+    return assemble_payloads(
+        np.asarray(words), np.asarray(emitted), np.asarray(acc), np.asarray(nbits)
+    )
 
 
 def compress_device(
     data: bytes, *, strict: bool = True, block_bytes: int = DEFAULT_BLOCK_BYTES
 ) -> bytes:
     """bytes -> complete .et file; byte-identical to the host/reference output."""
-    import jax.numpy as jnp
-
     arr = np.frombuffer(data, dtype=np.uint8)
-    padded = np.zeros(-(-max(arr.size, 1) // 4) * 4, dtype=np.uint8)
-    padded[: arr.size] = arr
-    counts = np.asarray(histogram_device(jnp.asarray(padded), arr.size), dtype=np.int64)
+    counts = histogram_on_device(arr)
     table = build_code_table(counts, strict=strict)
 
     payload, bit_lens = encode_blocks_device(arr, table, block_bytes)
-    payload_np = np.asarray(payload)
-    words, total_bits = stitch_words(list(payload_np), bit_lens)
+    words, total_bits = stitch_payload(payload, bit_lens)
     return serialize_header(table, arr.size) + words_to_bytes(words, total_bits)

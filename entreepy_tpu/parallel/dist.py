@@ -5,13 +5,13 @@ future work, its README's "block based parallel decoding"):
 
 1. local byte histogram per shard -> ``psum`` over the mesh (replicated counts)
 2. host builds the exact code table (tiny), replicates codes/lengths
-3. every device packs its blocks locally (``pack_blocks_core``)
+3. every device scan-packs its blocks locally (``pack_blocks_scan``)
 4. per-block bit lengths gather to host; payload shards stitch in order
 
-Decode: chunks shard across devices; the self-sync fixed-point loop runs
-*inside* jit with a tiled ``all_gather`` of per-chunk exit offsets per pass
-(a few KB over ICI), then each shard emits + compacts its own contiguous
-symbol range locally; the host concatenates the shard outputs.
+Decode: FSM chunks (lanes) shard across devices; the self-sync fixed-point
+loop runs *inside* jit with a tiled ``all_gather`` of per-chunk exit states
+per pass (a few KB over ICI), then each shard emits its symbol slots locally
+and the host compacts them in stream order.
 
 Multi-host: the same program runs under ``jax.distributed.initialize`` —
 the mesh axis spans all processes' devices and the collectives ride
@@ -30,14 +30,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..format.etformat import parse_header, serialize_header
+from ..format.fsm import COLS_PER_NIBBLE, build_decode_fsm
 from ..format.huffman import build_code_table
-from ..format.lut import build_decode_lut
-from ..ops.bitpack import pack_blocks_core
-from ..ops.decode import DEFAULT_CHUNK_BITS, make_chunk_pass
-from ..utils.stitch import split_blocks, stitch_words, words_to_bytes
+from ..ops.bitpack import assemble_payloads, code_table_cols, pack_blocks_scan
+from ..ops.decode import (
+    DEFAULT_CHUNK_BITS,
+    MAX_SYNC_PASSES,
+    _fsm_step,
+    _table_bf16,
+    _table_sync_bf16,
+    compact_symbols,
+    words_to_nibbles,
+)
+from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
 from .mesh import BLOCK_AXIS, make_mesh
 
-DEFAULT_BLOCK_BYTES = 1 << 20
+DEFAULT_BLOCK_BYTES = 4096
 
 
 def _bucket(n: int) -> int:
@@ -47,12 +55,15 @@ def _bucket(n: int) -> int:
 @lru_cache(maxsize=None)
 def _hist_fn(mesh: Mesh, axis: str):
     def local(blocks, valid):
-        idx = jax.lax.broadcasted_iota(jnp.int32, blocks.shape, 1)
-        mask = idx < valid[:, None]
-        counts = jnp.bincount(
-            jnp.where(mask, blocks, 0).astype(jnp.int32).ravel(), length=256
-        )
-        counts = counts.at[0].add(jnp.sum(valid) - blocks.size)
+        sym = jnp.arange(256, dtype=jnp.int32)
+
+        def step(acc, x):
+            row, v = x
+            idx = jnp.arange(row.shape[0], dtype=jnp.int32)
+            b = jnp.where(idx < v, row.astype(jnp.int32), -1)  # padding -> no bin
+            return acc + jnp.sum(b[:, None] == sym[None, :], axis=0), None
+
+        counts, _ = jax.lax.scan(step, jnp.zeros(256, jnp.int32), (blocks, valid))
         return jax.lax.psum(counts, axis)
 
     return jax.jit(
@@ -63,33 +74,16 @@ def _hist_fn(mesh: Mesh, axis: str):
 
 
 @lru_cache(maxsize=None)
-def _bitlen_fn(mesh: Mesh, axis: str):
-    def local(blocks, valid, lengths):
-        lens = lengths[blocks].astype(jnp.int32)
-        idx = jax.lax.broadcasted_iota(jnp.int32, blocks.shape, 1)
-        return jnp.sum(jnp.where(idx < valid[:, None], lens, 0), axis=1)
-
-    return jax.jit(
-        shard_map(
-            local,
+def _pack_fn(mesh: Mesh, axis: str):
+    @jax.jit
+    def f(blocks, valid, codetbl):
+        return shard_map(
+            pack_blocks_scan,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P()),
-            out_specs=P(axis),
-        )
-    )
-
-
-@lru_cache(maxsize=None)
-def _pack_fn(mesh: Mesh, axis: str):
-    @partial(jax.jit, static_argnames=("cap_words",))
-    def f(blocks, valid, codes, lengths, cap_words):
-        local = partial(pack_blocks_core, cap_words=cap_words)
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P()),
-            out_specs=(P(axis), P(axis)),
-        )(blocks, valid, codes, lengths)
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )(blocks, valid, codetbl)
 
     return f
 
@@ -125,72 +119,79 @@ def compress_sharded(
 
     counts = np.asarray(_hist_fn(mesh, axis)(blocks, valid), dtype=np.int64)
     table = build_code_table(counts, strict=strict)
-    codes = jnp.asarray(table.codes)
-    lengths = jnp.asarray(table.lengths.astype(np.uint32))
+    codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
 
-    bit_lens = np.asarray(_bitlen_fn(mesh, axis)(blocks, valid, lengths))
-    cap_words = _bucket(int(bit_lens.max()) // 32 + 2)
-    payload, _ = _pack_fn(mesh, axis)(blocks, valid, codes, lengths, cap_words)
-
-    words, total_bits = stitch_words(list(np.asarray(payload)), bit_lens)
-    return serialize_header(table, arr.size) + words_to_bytes(words, total_bits)
+    words, emitted, acc, nbits = _pack_fn(mesh, axis)(blocks, valid, codetbl)
+    payload, bit_lens = assemble_payloads(
+        np.asarray(words), np.asarray(emitted), np.asarray(acc), np.asarray(nbits)
+    )
+    words_out, total_bits = stitch_payload(payload, bit_lens)
+    return serialize_header(table, arr.size) + words_to_bytes(words_out, total_bits)
 
 
 @lru_cache(maxsize=None)
 def _decode_fn(mesh: Mesh, axis: str):
-    @partial(
-        jax.jit,
-        static_argnames=("chunk_bits", "lookup_bits", "levels", "max_syms"),
-    )
-    def f(words, lut_flat, n_real_bits, chunk_bits, lookup_bits, levels, max_syms):
+    """Sharded FSM decode: lanes (chunks) shard over the mesh; each self-sync
+    pass all_gathers the per-chunk exit *states* (one byte per chunk — a few
+    KB over ICI) so the sequential entry chain spans the whole stream."""
+
+    @partial(jax.jit, static_argnames=("max_passes",))
+    def f(nibbles, table_full, table_sync, n_real_lanes, max_passes=MAX_SYNC_PASSES):
         n_dev = mesh.devices.size
-        n_chunks = (words.shape[0] - 2) * 32 // chunk_bits
-        chunks_local = n_chunks // n_dev
-        cap_local = chunks_local * max_syms
+        lanes = nibbles.shape[0]
+        lanes_local = lanes // n_dev
 
-        def local(words, lut_flat, n_real_bits):
-            n_real_bits = n_real_bits[0]
-            my = jax.lax.axis_index(axis) * chunks_local
-            ends_local = (my + jnp.arange(chunks_local, dtype=jnp.int32) + 1) * chunk_bits
-            pass_fn = make_chunk_pass(
-                words, lut_flat, ends_local, n_real_bits, lookup_bits, levels, max_syms
-            )
+        def local(nibbles, table_full, table_sync, n_real_lanes):
+            xs = nibbles.T  # [K, lanes_local]
+            my = jax.lax.axis_index(axis) * lanes_local
+            real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes[0]
 
-            def sync_cond(state):
-                entries, prev = state
-                return jnp.any(entries != prev)
+            def sync_step(state, x):
+                vals = _fsm_step(table_sync, 1, state, x)
+                return vals[:, 0].astype(jnp.int32), None
 
-            def sync_body(state):
-                entries, _ = state
-                mine = jax.lax.dynamic_slice(entries, (my,), (chunks_local,))
-                exits_local, _ = pass_fn(mine, emit=False)
+            def sync_pass(entries):
+                mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
+                exits_local, _ = jax.lax.scan(sync_step, mine, xs)
                 exits = jax.lax.all_gather(exits_local, axis, tiled=True)
-                new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-                return new_entries, entries
+                return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
 
-            entries0 = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_bits
-            entries, _ = jax.lax.while_loop(sync_cond, sync_body, (entries0, entries0 - 1))
+            def changed(entries, prev):
+                return jnp.any(jnp.logical_and(entries != prev, real))
 
-            mine = jax.lax.dynamic_slice(entries, (my,), (chunks_local,))
-            _, counts, counts_real, slab = pass_fn(mine, emit=True)
-            ends = jnp.cumsum(counts)
-            starts = ends - counts
-            k = jnp.arange(cap_local, dtype=jnp.int32)
-            c = jnp.minimum(
-                jnp.searchsorted(ends, k, side="right").astype(jnp.int32),
-                chunks_local - 1,
+            def cond(c):
+                entries, prev, it = c
+                return jnp.logical_and(it < max_passes, changed(entries, prev))
+
+            def body(c):
+                entries, _, it = c
+                return sync_pass(entries), entries, it + 1
+
+            entries0 = jnp.zeros(lanes, dtype=jnp.int32)
+            entries, prev, _ = jax.lax.while_loop(
+                cond, body, (sync_pass(entries0), entries0 - 1, jnp.int32(0))
             )
-            j = jnp.clip(k - starts[c], 0, max_syms - 1)
-            out = jnp.where(k < ends[-1], slab[c, j], 0).astype(jnp.uint8)
-            return out, ends[-1:], jnp.sum(counts_real)[None]
+            unconverged = changed(entries, prev)
+
+            def emit_step(state, x):
+                vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)
+                syms = vals[:, 2:6].astype(jnp.uint32)
+                packed = (
+                    (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
+                )
+                return vals[:, 0].astype(jnp.int32), (packed, vals[:, 1].astype(jnp.int32))
+
+            mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
+            _, (packed, counts) = jax.lax.scan(emit_step, mine, xs)
+            return packed.T, counts.T, unconverged[None]
 
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(axis), P(), P(), P(axis)),
             out_specs=(P(axis), P(axis), P(axis)),
             check_vma=False,
-        )(words, lut_flat, n_real_bits)
+        )(nibbles, table_full, table_sync, n_real_lanes)
 
     return f
 
@@ -208,43 +209,31 @@ def decompress_sharded(
     hdr = parse_header(et)
     if hdr.body_len == 0:
         return b""
-    lut = build_decode_lut(hdr.table)
+    fsm = build_decode_fsm(hdr.table)
     buf = np.frombuffer(et, dtype=np.uint8)[hdr.body_start :]
 
-    chunk_words = chunk_bits // 32
-    n_chunks = max(_bucket(-(-buf.size * 8 // chunk_bits)), n_dev)
-    n_words = n_chunks * chunk_words
-    padded = np.zeros((n_words + 2) * 4, dtype=np.uint8)
+    k = chunk_bits // 4  # nibbles per chunk
+    chunk_bytes = chunk_bits // 8
+    n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    lanes = max(_bucket(n_real_lanes), n_dev)
+    padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
     words = jnp.asarray(padded.view(">u4").astype(np.uint32))
+    nibbles = words_to_nibbles(words, lanes, k)
 
-    flat = lut.flat
-    cap = _bucket(flat.size)
-    if cap != flat.size:
-        flat = np.concatenate([flat, np.zeros(cap - flat.size, np.int32)])
-
-    levels = -(-lut.max_len // lut.lookup_bits)
-    max_syms = _bucket(chunk_bits // max(lut.min_len, 1) + 1)
-
-    out, totals, totals_real = _decode_fn(mesh, axis)(
-        words,
-        jnp.asarray(flat),
-        jnp.full((n_dev,), buf.size * 8, dtype=jnp.int32),
-        chunk_bits,
-        lut.lookup_bits,
-        levels,
-        max_syms,
+    packed, counts, unconverged = _decode_fn(mesh, axis)(
+        nibbles,
+        _table_bf16(fsm),
+        _table_sync_bf16(fsm),
+        jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
     )
-    out = np.asarray(out)
-    totals = np.asarray(totals)
-    if int(np.asarray(totals_real).sum()) < hdr.body_len:
-        raise ValueError(
-            f"bitstream ended early: decoded {int(np.asarray(totals_real).sum())} "
-            f"of {hdr.body_len} symbols"
-        )
+    if bool(np.asarray(unconverged).any()):
+        # Pathologically periodic streams can defeat chunk self-sync; fall
+        # back to the exact serial host decoder.
+        from ..format import build_decode_lut, unpack_body_host
 
-    cap_local = out.size // n_dev
-    pieces = [
-        out[d * cap_local : d * cap_local + int(totals[d])] for d in range(n_dev)
-    ]
-    return np.concatenate(pieces)[: hdr.body_len].tobytes()
+        lut = build_decode_lut(hdr.table)
+        return unpack_body_host(buf.tobytes(), lut, hdr.body_len).tobytes()
+    return compact_symbols(
+        np.asarray(packed), np.asarray(counts), hdr.body_len, buf.size * 2
+    ).tobytes()

@@ -1,0 +1,182 @@
+"""C++ host runtime bindings (ctypes).
+
+The shared library is compiled lazily from ``native.cpp`` with g++ the first
+time it is needed and cached next to the source (pybind11 is not available in
+this toolchain; plain C linkage + ctypes keeps the binding dependency-free).
+Every entry point has a pure-numpy fallback in the package, so the framework
+degrades gracefully when no compiler is present: callers check
+``available()`` or just use the ``hostcodec``/``ops`` wrappers, which pick
+the fastest implementation themselves.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "native.cpp"
+_SO = _HERE / "_native.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_ll = ctypes.c_longlong
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", str(_SO), str(_SRC),
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0 and _SO.exists()
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("ENTREEPY_NO_NATIVE"):
+            return None
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+
+        lib.et_pack_body.restype = _ll
+        lib.et_pack_body.argtypes = [_u8p, _ll, _u32p, _u8p, _u8p]
+        lib.et_unpack_body.restype = _ll
+        lib.et_unpack_body.argtypes = [_u8p, _ll, _i32p, ctypes.c_int, _u8p, _ll]
+        lib.et_compact_symbols.restype = _ll
+        lib.et_compact_symbols.argtypes = [_u32p, _i32p, _ll, _u8p, _ll]
+        lib.et_sum_counts.restype = _ll
+        lib.et_sum_counts.argtypes = [_i32p, _ll]
+        lib.et_assemble_payloads.restype = ctypes.c_int
+        lib.et_assemble_payloads.argtypes = [
+            _u32p, _u8p, _ll, _ll, _u32p, _i32p, _u32p, _ll, _i64p,
+        ]
+        lib.et_stitch_words.restype = _ll
+        lib.et_stitch_words.argtypes = [_u32p, _ll, _ll, _i64p, _u32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
+    """uint8[n] + code table -> (body bytes, total_bits) or None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    max_bits = int(lengths.max(initial=0)) * data.size
+    out = np.empty(max_bits // 8 + 2, dtype=np.uint8)
+    total = lib.et_pack_body(
+        data, data.size,
+        np.ascontiguousarray(codes, dtype=np.uint32),
+        np.ascontiguousarray(lengths, dtype=np.uint8),
+        out,
+    )
+    if total < 0:
+        raise ValueError("symbol without a code in the table")
+    return out[: (int(total) + 7) // 8].tobytes(), int(total)
+
+
+def unpack_body(body: bytes, lut_flat: np.ndarray, lookup_bits: int, n_symbols: int):
+    """Packed body -> uint8[n_symbols] or None if no lib. Raises on corrupt
+    or truncated streams (the reference trusts the header instead)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(body, dtype=np.uint8)
+    padded = np.zeros(buf.size + 16, dtype=np.uint8)
+    padded[: buf.size] = buf
+    out = np.empty(max(n_symbols, 1), dtype=np.uint8)
+    r = lib.et_unpack_body(
+        padded, buf.size,
+        np.ascontiguousarray(lut_flat, dtype=np.int32),
+        lookup_bits, out, n_symbols,
+    )
+    if r == -1:
+        raise ValueError("invalid bitstream: no code matches window")
+    if r == -2:
+        raise ValueError(f"bitstream ended early: decoded fewer than {n_symbols} symbols")
+    return out[:n_symbols]
+
+
+def compact_symbols(packed: np.ndarray, counts: np.ndarray, n_symbols: int):
+    """Dense FSM emission slots -> uint8[n_symbols], or None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed.reshape(-1), dtype=np.uint32)
+    counts = np.ascontiguousarray(counts.reshape(-1), dtype=np.int32)
+    out = np.empty(max(n_symbols, 1), dtype=np.uint8)
+    w = lib.et_compact_symbols(packed, counts, packed.size, out, n_symbols)
+    if w < n_symbols:
+        raise ValueError(f"bitstream ended early: decoded {w} of {n_symbols} symbols")
+    return out[:n_symbols]
+
+
+def sum_counts(counts: np.ndarray) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(counts.reshape(-1), dtype=np.int32)
+    return int(lib.et_sum_counts(c, c.size))
+
+
+def assemble_payloads(words, emitted, acc, nbits):
+    """Dense emission -> (payload uint32[lanes, cap], bit_lens int64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    emitted_u8 = np.ascontiguousarray(emitted, dtype=np.uint8)
+    lanes, steps = words.shape
+    counts = emitted_u8.sum(axis=1, dtype=np.int64)
+    cap = int(counts.max(initial=0)) + 1
+    payload = np.zeros((lanes, cap), dtype=np.uint32)
+    bit_lens = np.zeros(lanes, dtype=np.int64)
+    r = lib.et_assemble_payloads(
+        words, emitted_u8, lanes, steps,
+        np.ascontiguousarray(acc, dtype=np.uint32),
+        np.ascontiguousarray(nbits, dtype=np.int32),
+        payload, cap, bit_lens,
+    )
+    if r != 0:
+        raise RuntimeError("payload capacity overflow (internal error)")
+    return payload, bit_lens
+
+
+def stitch_words(payload: np.ndarray, bit_lens: np.ndarray):
+    """[lanes, cap] payload rows -> (stream uint32 words, total_bits) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint32)
+    bl = np.ascontiguousarray(bit_lens, dtype=np.int64)
+    total = int(bl.sum())
+    out = np.zeros(total // 32 + 2, dtype=np.uint32)
+    lib.et_stitch_words(payload, payload.shape[0], payload.shape[1], bl, out)
+    return out, total

@@ -41,6 +41,17 @@ def stitch_words(payloads, bit_lens) -> tuple[np.ndarray, int]:
     return out, total_bits
 
 
+def stitch_payload(payload: np.ndarray, bit_lens) -> tuple[np.ndarray, int]:
+    """Like :func:`stitch_words` but for a [lanes, cap] payload matrix,
+    dispatching to the C++ runtime when available."""
+    from .. import runtime
+
+    native = runtime.stitch_words(payload, np.asarray(bit_lens, dtype=np.int64))
+    if native is not None:
+        return native
+    return stitch_words(list(payload), bit_lens)
+
+
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
     """Big-endian u32 words -> the stream's bytes (zero-padded final byte)."""
     n_bytes = (total_bits + 7) // 8

@@ -1,0 +1,111 @@
+"""C++ runtime must be bit-identical to the pure-numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from entreepy_tpu import runtime
+from entreepy_tpu.format import build_code_table, histogram
+from entreepy_tpu.format.lut import build_decode_lut
+
+pytestmark = pytest.mark.skipif(
+    not runtime.available(), reason="native runtime unavailable (no g++?)"
+)
+
+
+def _table(data: bytes):
+    return build_code_table(histogram(np.frombuffer(data, np.uint8)))
+
+
+def test_pack_matches_numpy(midsummer):
+    import entreepy_tpu.format.hostcodec as hc
+
+    arr = np.frombuffer(midsummer, np.uint8)
+    table = _table(midsummer)
+    native = runtime.pack_body(arr, table.codes, table.lengths)
+    assert native is not None
+    # numpy reference path (bypasses the native dispatch)
+    lens = table.lengths[arr].astype(np.int64)
+    codes = table.codes[arr].astype(np.uint64)
+    ends = np.cumsum(lens)
+    total = int(ends[-1])
+    offs = ends - lens
+    contrib = codes << (np.uint64(64) - (offs & 31).astype(np.uint64) - lens.astype(np.uint64))
+    words = np.zeros(total // 32 + 2, dtype=np.uint32)
+    np.add.at(words, (offs >> 5).astype(np.int64), (contrib >> np.uint64(32)).astype(np.uint32))
+    np.add.at(words, (offs >> 5).astype(np.int64) + 1, (contrib & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    ref = words.astype(">u4").tobytes()[: (total + 7) // 8]
+    assert native[1] == total
+    assert native[0] == ref
+
+
+def test_unpack_roundtrip(midsummer):
+    arr = np.frombuffer(midsummer, np.uint8)
+    table = _table(midsummer)
+    body, _ = runtime.pack_body(arr, table.codes, table.lengths)
+    lut = build_decode_lut(table)
+    out = runtime.unpack_body(body, lut.flat, lut.lookup_bits, arr.size)
+    assert out is not None and out.tobytes() == midsummer
+
+
+def test_unpack_truncated_raises(macbeth):
+    arr = np.frombuffer(macbeth, np.uint8)
+    table = _table(macbeth)
+    body, _ = runtime.pack_body(arr, table.codes, table.lengths)
+    lut = build_decode_lut(table)
+    with pytest.raises(ValueError, match="ended early"):
+        runtime.unpack_body(body[:10], lut.flat, lut.lookup_bits, arr.size)
+
+
+def test_compact_symbols_matches_numpy():
+    rng = np.random.default_rng(7)
+    n = 5000
+    counts = rng.integers(0, 5, size=n, dtype=np.int32)
+    syms = rng.integers(0, 256, size=(n, 4), dtype=np.uint32)
+    packed = (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
+    total = int(counts.sum())
+    out = runtime.compact_symbols(packed, counts, total)
+    mask = np.arange(4)[None, :] < counts[:, None]
+    syms4 = np.stack(
+        [(packed >> s) & 0xFF for s in (24, 16, 8, 0)], axis=1
+    ).astype(np.uint8)
+    assert out.tobytes() == syms4[mask].tobytes()
+
+
+def test_stitch_matches_numpy():
+    from entreepy_tpu.utils.stitch import stitch_words
+
+    rng = np.random.default_rng(8)
+    lanes, cap = 37, 9
+    payload = rng.integers(0, 2**32, size=(lanes, cap), dtype=np.uint64).astype(np.uint32)
+    bit_lens = rng.integers(0, cap * 32 - 31, size=lanes).astype(np.int64)
+    # zero bits beyond each row's length (contract of the packers)
+    for l in range(lanes):
+        nw = (int(bit_lens[l]) + 31) // 32
+        payload[l, nw:] = 0
+        rem = int(bit_lens[l]) & 31
+        if rem and nw:
+            payload[l, nw - 1] &= np.uint32(0xFFFFFFFF) << (32 - rem)
+    ref_words, ref_total = stitch_words(list(payload), bit_lens)
+    nat = runtime.stitch_words(payload, bit_lens)
+    assert nat is not None
+    nat_words, nat_total = nat
+    assert nat_total == ref_total
+    n = ref_total // 32 + 1
+    assert np.array_equal(nat_words[:n], ref_words[:n])
+
+
+def test_assemble_matches_numpy():
+    from entreepy_tpu.ops.bitpack import _assemble_payloads_np
+
+    rng = np.random.default_rng(9)
+    lanes, steps = 16, 64
+    words = rng.integers(0, 2**32, size=(lanes, steps), dtype=np.uint64).astype(np.uint32)
+    emitted = rng.random((lanes, steps)) < 0.4
+    acc = rng.integers(0, 2**32, size=lanes, dtype=np.uint64).astype(np.uint32)
+    nbits = rng.integers(0, 32, size=lanes).astype(np.int32)
+    pn, bn = _assemble_payloads_np(words, emitted, acc, nbits)
+    nat = runtime.assemble_payloads(words, emitted, acc, nbits)
+    assert nat is not None
+    pc, bc = nat
+    assert np.array_equal(bn, bc)
+    assert pn.shape == pc.shape and np.array_equal(pn, pc)

@@ -5,13 +5,18 @@ The reference's published headline number (README.md:53, reproduced in
 BASELINE.md) is decompression of the ~5.2 MB Complete Works of Shakespeare in
 11.8 s (~0.44 MB/s) on an M2 MacBook Air. This environment has no network
 egress, so the corpus is synthesized at the same scale and symbol statistics
-by tiling the ~112 KB `a_midsummer_nights_dream.txt` fixture to ~5.3 MB.
+by tiling the ~112 KB `a_midsummer_nights_dream.txt` fixture to 5.2 MB.
 
 Prints ONE JSON line:
   {"metric": "decode_throughput_5MB", "value": <MB/s>, "unit": "MB/s",
    "vs_baseline": <value / 0.44>}
 
-plus (stderr) secondary numbers: compress throughput, ratio, round-trip check.
+The headline measures the framework's auto backend end-to-end (bytes in ->
+bytes out). Secondary numbers on stderr: compress throughput, compression
+ratio, and the TPU FSM kernel's device-side decode time (the device path is
+transfer-bound through this environment's TPU tunnel — see
+entreepy_tpu/api.py — so its end-to-end time here is not representative of
+pod hardware; its compute time is).
 """
 
 import json
@@ -31,7 +36,8 @@ def build_corpus() -> bytes:
     return (src * reps)[:TARGET_BYTES]
 
 
-def best_of(fn, warmup: int = 2, iters: int = 5):
+def best_of(fn, warmup: int = 1, iters: int = 5):
+    out = None
     for _ in range(warmup):
         out = fn()
     times = []
@@ -42,22 +48,64 @@ def best_of(fn, warmup: int = 2, iters: int = 5):
     return out, min(times)
 
 
+def device_kernel_decode_ms(et: bytes) -> float | None:
+    """TPU-side FSM decode time (compute + on-device staging, no D2H)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        from entreepy_tpu.format import parse_header
+        from entreepy_tpu.format.fsm import build_decode_fsm
+        from entreepy_tpu.ops.decode import (
+            _table_bf16, _table_sync_bf16, fsm_decode, words_to_nibbles,
+        )
+
+        hdr = parse_header(et)
+        fsm = build_decode_fsm(hdr.table)
+        buf = np.frombuffer(et, np.uint8)[hdr.body_start:]
+        chunk_bytes = 512
+        n_real = max(1, -(-buf.size // chunk_bytes))
+        lanes = 1 << (n_real - 1).bit_length()
+        padded = np.zeros(lanes * chunk_bytes, np.uint8)
+        padded[: buf.size] = buf
+        tf, ts = _table_bf16(fsm), _table_sync_bf16(fsm)
+        words = jnp.asarray(padded.view(">u4").astype(np.uint32))  # staged H2D
+        words.block_until_ready()
+
+        def run():
+            nib = words_to_nibbles(words, lanes, 1024)
+            p, c, u = fsm_decode(nib, tf, ts, jnp.int32(n_real))
+            p.block_until_ready()
+            c.block_until_ready()
+            return p
+
+        _, t = best_of(run, warmup=1, iters=3)
+        return t * 1e3
+    except Exception:
+        return None
+
+
 def main() -> int:
     data = build_corpus()
     mb = len(data) / 1e6
 
     from entreepy_tpu import compress, decompress
 
-    et, t_enc = best_of(lambda: compress(data, backend="device"))
-    out, t_dec = best_of(lambda: decompress(et, backend="device"))
+    et, t_enc = best_of(lambda: compress(data))
+    out, t_dec = best_of(lambda: decompress(et))
     ok = out == data
 
     enc_mbps = mb / t_enc
     dec_mbps = mb / t_dec
+    dev_ms = device_kernel_decode_ms(et)
+    dev_note = f" tpu_fsm_kernel={dev_ms:.1f}ms ({mb/(dev_ms/1e3):.0f} MB/s compute)" if dev_ms else ""
     print(
         f"corpus={len(data)}B compressed={len(et)}B ratio={len(data)/len(et):.2f} "
         f"encode={t_enc*1e3:.1f}ms ({enc_mbps:.1f} MB/s) "
-        f"decode={t_dec*1e3:.1f}ms ({dec_mbps:.1f} MB/s) roundtrip={'OK' if ok else 'FAIL'}",
+        f"decode={t_dec*1e3:.1f}ms ({dec_mbps:.1f} MB/s) "
+        f"roundtrip={'OK' if ok else 'FAIL'}{dev_note}",
         file=sys.stderr,
     )
     if not ok:

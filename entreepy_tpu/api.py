@@ -1,17 +1,41 @@
 """Top-level bytes-in/bytes-out API.
 
-Dispatches between the exact host codec (small inputs, where device launch
-overhead dominates) and the JAX device paths (large inputs). Both produce
-byte-identical .et output; the threshold is purely a latency knob.
+Three interchangeable backends produce byte-identical .et output:
+
+* ``host``   — C++ native runtime (threaded block-parallel pack,
+               self-sync chunk-parallel decode), numpy fallback.
+* ``device`` — TPU kernels (ops/): MXU one-hot-matmul FSM decode and scan
+               bit-pack, single device.
+* ``None``   — auto. Host↔device transfer cost decides: the device kernels
+               decode a 5.2 MB corpus in ~15 ms of TPU time, but a single
+               compress/decompress call must move the input and output over
+               PCIe (or, in this dev environment, a slow tunnel). Auto
+               therefore uses the native host runtime when present and only
+               routes to the TPU above ``ENTREEPY_DEVICE_MIN`` bytes
+               (default: never when the native runtime exists, 64 KiB
+               otherwise). Production pods with local PCIe set e.g.
+               ``ENTREEPY_DEVICE_MIN=8000000``; the sharded multi-chip paths
+               in ``entreepy_tpu.parallel`` are explicit and unaffected.
 """
 
 from __future__ import annotations
 
+import os
+
 from .format import compress_host, decompress_host
 
-# Inputs below this many bytes are handled entirely on host: a TPU round trip
-# costs ~100s of microseconds, which dwarfs the work for tiny files.
 DEVICE_MIN_BYTES = 1 << 16
+
+
+def _device_min() -> int:
+    env = os.environ.get("ENTREEPY_DEVICE_MIN")
+    if env is not None:
+        return int(env)
+    from . import runtime
+
+    if runtime.available():
+        return 1 << 62  # native host runtime beats transfer-bound device calls
+    return DEVICE_MIN_BYTES
 
 
 def compress(data: bytes, *, strict: bool = True, backend: str | None = None) -> bytes:
@@ -19,8 +43,7 @@ def compress(data: bytes, *, strict: bool = True, backend: str | None = None) ->
 
     backend: None (auto), "host", or "device".
     """
-    use_device = _pick_device(backend, len(data))
-    if use_device:
+    if _pick_device(backend, len(data)):
         from .ops.encode import compress_device
 
         return compress_device(data, strict=strict)
@@ -29,8 +52,7 @@ def compress(data: bytes, *, strict: bool = True, backend: str | None = None) ->
 
 def decompress(et: bytes, *, backend: str | None = None) -> bytes:
     """Decompress a complete .et file back to the original bytes."""
-    use_device = _pick_device(backend, len(et))
-    if use_device:
+    if _pick_device(backend, len(et)):
         from .ops.decode import decompress_device
 
         return decompress_device(et)
@@ -44,4 +66,4 @@ def _pick_device(backend: str | None, n_bytes: int) -> bool:
         return True
     if backend is not None:
         raise ValueError(f"unknown backend {backend!r} (want None, 'host', 'device')")
-    return n_bytes >= DEVICE_MIN_BYTES
+    return n_bytes >= _device_min()

@@ -84,6 +84,12 @@ class CodeTable:
 def histogram(data) -> np.ndarray:
     """256-bin byte histogram (int64). Accepts bytes or a uint8 ndarray."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    if arr.size >= 1 << 16:
+        from .. import runtime
+
+        native = runtime.histogram(arr)
+        if native is not None:
+            return native
     return np.bincount(arr, minlength=ALPHABET).astype(np.int64)
 
 

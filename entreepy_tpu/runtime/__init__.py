@@ -35,7 +35,7 @@ _ll = ctypes.c_longlong
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", str(_SO), str(_SRC),
     ]
     try:
@@ -75,6 +75,14 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.et_stitch_words.restype = _ll
         lib.et_stitch_words.argtypes = [_u32p, _ll, _ll, _i64p, _u32p]
+        lib.et_histogram.restype = None
+        lib.et_histogram.argtypes = [_u8p, _ll, _i64p, ctypes.c_int]
+        lib.et_pack_parallel.restype = _ll
+        lib.et_pack_parallel.argtypes = [_u8p, _ll, _u32p, _u8p, _ll, _u8p, ctypes.c_int]
+        lib.et_decode_parallel.restype = _ll
+        lib.et_decode_parallel.argtypes = [
+            _u8p, _ll, _i32p, ctypes.c_int, _ll, _u8p, _ll, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -83,20 +91,43 @@ def available() -> bool:
     return _load() is not None
 
 
-def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
-    """uint8[n] + code table -> (body bytes, total_bits) or None if no lib."""
+def histogram(data: np.ndarray):
+    """Threaded 256-bin byte histogram -> int64[256], or None if no lib."""
     lib = _load()
     if lib is None:
         return None
     data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(256, dtype=np.int64)
+    lib.et_histogram(data, data.size, out, 0)
+    return out
+
+
+# Below this size a single thread wins (thread spawn ~50 us each).
+PARALLEL_MIN_BYTES = 1 << 18
+PACK_BLOCK_BYTES = 1 << 16
+DECODE_CHUNK_BITS = 1 << 17
+
+
+def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
+    """uint8[n] + code table -> (body bytes, total_bits) or None if no lib.
+
+    Large inputs pack block-parallel across host threads straight into the
+    final stream (shared boundary bytes OR-ed atomically)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    codes_c = np.ascontiguousarray(codes, dtype=np.uint32)
+    lens_c = np.ascontiguousarray(lengths, dtype=np.uint8)
     max_bits = int(lengths.max(initial=0)) * data.size
-    out = np.empty(max_bits // 8 + 2, dtype=np.uint8)
-    total = lib.et_pack_body(
-        data, data.size,
-        np.ascontiguousarray(codes, dtype=np.uint32),
-        np.ascontiguousarray(lengths, dtype=np.uint8),
-        out,
-    )
+    if data.size >= PARALLEL_MIN_BYTES:
+        out = np.zeros(max_bits // 8 + 2, dtype=np.uint8)  # pre-zeroed: OR-packing
+        total = lib.et_pack_parallel(
+            data, data.size, codes_c, lens_c, PACK_BLOCK_BYTES, out, 0
+        )
+    else:
+        out = np.empty(max_bits // 8 + 2, dtype=np.uint8)
+        total = lib.et_pack_body(data, data.size, codes_c, lens_c, out)
     if total < 0:
         raise ValueError("symbol without a code in the table")
     return out[: (int(total) + 7) // 8].tobytes(), int(total)
@@ -104,19 +135,27 @@ def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
 
 def unpack_body(body: bytes, lut_flat: np.ndarray, lookup_bits: int, n_symbols: int):
     """Packed body -> uint8[n_symbols] or None if no lib. Raises on corrupt
-    or truncated streams (the reference trusts the header instead)."""
+    or truncated streams (the reference trusts the header instead).
+
+    Large bodies decode chunk-parallel across host threads via the same
+    self-synchronization fixed point as the TPU FSM decoder; pathological
+    streams that defeat self-sync fall back to the serial walk."""
     lib = _load()
     if lib is None:
         return None
     buf = np.frombuffer(body, dtype=np.uint8)
     padded = np.zeros(buf.size + 16, dtype=np.uint8)
     padded[: buf.size] = buf
+    lut_c = np.ascontiguousarray(lut_flat, dtype=np.int32)
     out = np.empty(max(n_symbols, 1), dtype=np.uint8)
-    r = lib.et_unpack_body(
-        padded, buf.size,
-        np.ascontiguousarray(lut_flat, dtype=np.int32),
-        lookup_bits, out, n_symbols,
-    )
+    r = -3
+    if buf.size >= PARALLEL_MIN_BYTES:
+        r = lib.et_decode_parallel(
+            padded, buf.size, lut_c, lookup_bits, DECODE_CHUNK_BITS, out,
+            n_symbols, 0, 32,
+        )
+    if r == -3:  # small input, or self-sync defeated: exact serial walk
+        r = lib.et_unpack_body(padded, buf.size, lut_c, lookup_bits, out, n_symbols)
     if r == -1:
         raise ValueError("invalid bitstream: no code matches window")
     if r == -2:

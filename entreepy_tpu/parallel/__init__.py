@@ -10,5 +10,6 @@ stitched in order.
 
 from .mesh import make_mesh
 from .dist import compress_sharded, decompress_sharded
+from . import multihost
 
-__all__ = ["make_mesh", "compress_sharded", "decompress_sharded"]
+__all__ = ["make_mesh", "compress_sharded", "decompress_sharded", "multihost"]

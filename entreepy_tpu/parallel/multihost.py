@@ -1,0 +1,69 @@
+"""Multi-host (pod / DCN) execution.
+
+The reference has no distributed backend at all (SURVEY.md §2: no NCCL/MPI/
+sockets; single process). Here multi-host runs the *same* shard_map programs
+as single-host (dist.py) over a mesh whose 1-D block axis spans every
+process's devices: collectives ride ICI within a slice and DCN across hosts,
+chosen by XLA from device placement.
+
+Communication per file is tiny and fixed:
+
+* encode — one ``psum`` of the 256-bin histogram (1 KB) + the per-block
+  (payload, bit-length) shards gathered to host 0 for the ordered stitch
+* decode — one ``all_gather`` of per-chunk exit states (1 B/chunk) per sync
+  pass; each host emits only its own chunks' symbols
+
+Usage (one process per host, standard JAX bring-up)::
+
+    import entreepy_tpu.parallel.multihost as mh
+    mh.init()                       # jax.distributed.initialize()
+    et = mh.compress(data)          # every process passes the same bytes
+    out = mh.decompress(et)         # result valid on every process
+
+This module is exercised in CI via the virtual-device CPU mesh (a 1-process
+"pod"); real DCN runs need a pod slice, which this environment does not
+provide — the driver's ``dryrun_multichip`` validates the sharded program
+compiles and runs on N virtual devices.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .dist import compress_sharded, decompress_sharded
+from .mesh import BLOCK_AXIS, make_mesh
+
+_initialized = False
+
+
+def init(**kwargs) -> None:
+    """Initialize JAX distributed (idempotent). kwargs pass through to
+    ``jax.distributed.initialize`` (coordinator_address, num_processes,
+    process_id) — all auto-detected on TPU pods."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process / already-initialized environments
+        pass
+    _initialized = True
+
+
+def global_mesh(axis: str = BLOCK_AXIS):
+    """1-D mesh over every device of every process."""
+    return make_mesh(axis=axis)
+
+
+def compress(data: bytes, **kwargs) -> bytes:
+    """Compress over the global mesh. Every process must pass identical
+    ``data`` and receives the identical .et result (the stitch is
+    deterministic and runs on each host from the gathered shards)."""
+    return compress_sharded(data, global_mesh(), **kwargs)
+
+
+def decompress(et: bytes, **kwargs) -> bytes:
+    """Decompress over the global mesh; same SPMD contract as compress."""
+    return decompress_sharded(et, global_mesh(), **kwargs)

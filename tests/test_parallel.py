@@ -50,3 +50,14 @@ def test_mesh_subset_sizes(midsummer):
         et = compress_sharded(midsummer, mesh, block_bytes=16384)
         assert et == compress_host(midsummer)
         assert decompress_sharded(et, mesh) == midsummer
+
+
+def test_multihost_single_process(midsummer):
+    # The pod entry points must degrade to single-process SPMD over the
+    # virtual mesh (init is a no-op there) with identical bytes.
+    from entreepy_tpu.parallel import multihost as mh
+
+    mh.init()
+    et = mh.compress(midsummer, block_bytes=8192)
+    assert et == compress_host(midsummer)
+    assert mh.decompress(et) == midsummer

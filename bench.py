@@ -49,7 +49,38 @@ def best_of(fn, warmup: int = 1, iters: int = 5):
 
 
 def device_kernel_decode_ms(et: bytes) -> float | None:
-    """TPU-side FSM decode time (compute + on-device staging, no D2H)."""
+    """TPU-side FSM decode time (compute + on-device staging, no D2H).
+
+    Runs in a subprocess with a hard timeout: a wedged TPU tunnel must not
+    hang the benchmark (the headline path is device-independent)."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".et", delete=False) as f:
+        f.write(et)
+        path = f.name
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _device_kernel_decode_ms_inner\n"
+        "r = _device_kernel_decode_ms_inner(open(%r,'rb').read())\n"
+        "print('DEVMS', r)\n" % (str(Path(__file__).parent), path)
+    )
+    try:
+        r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=240)
+        for line in r.stdout.splitlines():
+            if line.startswith("DEVMS "):
+                val = line.split()[1]
+                return None if val == "None" else float(val)
+    except subprocess.TimeoutExpired:
+        pass
+    finally:
+        Path(path).unlink(missing_ok=True)
+    return None
+
+
+def _device_kernel_decode_ms_inner(et: bytes) -> float | None:
     try:
         import jax
         import jax.numpy as jnp

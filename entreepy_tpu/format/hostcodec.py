@@ -100,14 +100,25 @@ def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
 
 def compress_host(data: bytes, *, strict: bool = True) -> bytes:
     """bytes → complete .et file, byte-identical to the reference's output."""
+    from ..utils.trace import phase
+
     arr = np.frombuffer(data, dtype=np.uint8)
-    table = build_code_table(histogram(arr), strict=strict)
-    body, _ = pack_body_host(arr, table)
+    with phase("histogram", arr.size):
+        counts = histogram(arr)
+    with phase("code_table"):
+        table = build_code_table(counts, strict=strict)
+    with phase("pack_body", arr.size):
+        body, _ = pack_body_host(arr, table)
     return serialize_header(table, arr.size) + body
 
 
 def decompress_host(et: bytes) -> bytes:
     """complete .et file → original bytes (validates magic/version)."""
-    hdr = parse_header(et)
-    lut = build_decode_lut(hdr.table)
-    return unpack_body_host(et[hdr.body_start :], lut, hdr.body_len).tobytes()
+    from ..utils.trace import phase
+
+    with phase("parse_header"):
+        hdr = parse_header(et)
+        lut = build_decode_lut(hdr.table)
+    with phase("unpack_body", hdr.body_len):
+        out = unpack_body_host(et[hdr.body_start :], lut, hdr.body_len)
+    return out.tobytes()

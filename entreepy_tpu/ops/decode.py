@@ -116,7 +116,7 @@ def fsm_decode(nibbles, table_full, table_sync, n_real_lanes, max_passes: int = 
     def emit_step(state, x):
         vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)
         new_state = vals[:, 0].astype(jnp.int32)
-        count = vals[:, 1].astype(jnp.int32)
+        count = vals[:, 1].astype(jnp.int8)  # <= 4; int8 quarters the D2H
         syms = vals[:, 2:6].astype(U32)
         packed = (
             (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
@@ -172,6 +172,8 @@ def decode_body_device(
     """Decode a packed body with ``table`` -> uint8[n_symbols] (host array)."""
     if n_symbols == 0:
         return np.zeros(0, dtype=np.uint8)
+    from ..utils.trace import phase
+
     fsm = fsm or build_decode_fsm(table)
     buf = (
         np.frombuffer(body, dtype=np.uint8)
@@ -185,12 +187,12 @@ def decode_body_device(
     lanes = _bucket(n_real_lanes)
     padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
-    words = jnp.asarray(padded.view(">u4").astype(np.uint32))
-
-    nibbles = words_to_nibbles(words, lanes, k)
-    packed, counts, unconverged = fsm_decode(
-        nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
-    )
+    with phase("device_fsm_decode", n_symbols):
+        words = jnp.asarray(padded.view(">u4").astype(np.uint32))
+        nibbles = words_to_nibbles(words, lanes, k)
+        packed, counts, unconverged = fsm_decode(
+            nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
+        )
     if bool(unconverged):
         # Pathologically periodic streams can defeat chunk self-sync; the
         # exact serial host decoder is the always-correct fallback.
@@ -198,9 +200,10 @@ def decode_body_device(
 
         lut = _fmt.build_decode_lut(table)
         return _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
-    return compact_symbols(
-        np.asarray(packed), np.asarray(counts), n_symbols, buf.size * 2
-    )
+    with phase("device_fetch_compact", n_symbols):
+        return compact_symbols(
+            np.asarray(packed), np.asarray(counts), n_symbols, buf.size * 2
+        )
 
 
 def _table_bf16(fsm: DecodeFsm):

@@ -81,10 +81,15 @@ def compress_device(
     data: bytes, *, strict: bool = True, block_bytes: int = DEFAULT_BLOCK_BYTES
 ) -> bytes:
     """bytes -> complete .et file; byte-identical to the host/reference output."""
-    arr = np.frombuffer(data, dtype=np.uint8)
-    counts = histogram_on_device(arr)
-    table = build_code_table(counts, strict=strict)
+    from ..utils.trace import phase
 
-    payload, bit_lens = encode_blocks_device(arr, table, block_bytes)
-    words, total_bits = stitch_payload(payload, bit_lens)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    with phase("device_histogram", arr.size):
+        counts = histogram_on_device(arr)
+    with phase("code_table"):
+        table = build_code_table(counts, strict=strict)
+    with phase("device_pack", arr.size):
+        payload, bit_lens = encode_blocks_device(arr, table, block_bytes)
+    with phase("stitch"):
+        words, total_bits = stitch_payload(payload, bit_lens)
     return serialize_header(table, arr.size) + words_to_bytes(words, total_bits)

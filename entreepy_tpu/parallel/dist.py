@@ -179,7 +179,7 @@ def _decode_fn(mesh: Mesh, axis: str):
                 packed = (
                     (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
                 )
-                return vals[:, 0].astype(jnp.int32), (packed, vals[:, 1].astype(jnp.int32))
+                return vals[:, 0].astype(jnp.int32), (packed, vals[:, 1].astype(jnp.int8))
 
             mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
             _, (packed, counts) = jax.lax.scan(emit_step, mine, xs)

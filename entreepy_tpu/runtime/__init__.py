@@ -105,7 +105,7 @@ def histogram(data: np.ndarray):
 # Below this size a single thread wins (thread spawn ~50 us each).
 PARALLEL_MIN_BYTES = 1 << 18
 PACK_BLOCK_BYTES = 1 << 16
-DECODE_CHUNK_BITS = 1 << 17
+DECODE_CHUNK_BITS = 1 << 15
 
 
 def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):

@@ -20,8 +20,12 @@
 // All bit order is big-endian (MSB first) to match the .et format.
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -73,18 +77,27 @@ long long et_unpack_body(const uint8_t* body, long long body_bytes,
                          long long n_symbols) {
   const long long avail_bits = body_bytes * 8;
   const uint32_t fanout = 1u << lookup_bits;
+  const uint8_t* p = body;
+  uint64_t buf = 0;
+  int nbits = 0;
   long long bitpos = 0;
   for (long long i = 0; i < n_symbols; ++i) {
     if (bitpos >= avail_bits) return -2;
+    while (nbits <= 56) {
+      buf |= (uint64_t)(*p++) << (56 - nbits);
+      nbits += 8;
+    }
     int32_t tid = 0;
     int consumed = 0;
     for (;;) {
-      const uint32_t window = et_load32(body, bitpos + consumed);
-      const uint32_t idx = window >> (32 - lookup_bits);
+      const uint32_t idx = (uint32_t)((buf << consumed) >> (64 - lookup_bits));
       const int32_t entry = lut[(uint32_t)tid * fanout + idx];
       if (entry > 0) {
         out[i] = (uint8_t)(entry & 0xFF);
-        bitpos += entry >> 8;
+        const int len = entry >> 8;
+        buf <<= len;
+        nbits -= len;
+        bitpos += len;
         break;
       }
       if (entry == 0) return -1;
@@ -303,40 +316,41 @@ long long et_pack_parallel(const uint8_t* data, long long n,
   return total_bits;
 }
 
-// Fast serial walk of [start, end) with a sliding 64-bit buffer (one byte
-// load per 8 stream bits instead of an 8-byte load per symbol). Appends
-// decoded symbols to `syms`, optionally records the first `nsync` codeword
-// start bits into `bounds`, and returns the exit bit position (first
-// codeword boundary at or past `end`). `body` must be padded >= 16 bytes.
-static long long et_walk_fast(const uint8_t* body, long long start,
-                              long long end, const int32_t* lut,
-                              int lookup_bits, std::vector<uint8_t>& syms,
-                              std::vector<long long>* bounds, int nsync) {
-  const uint8_t* p = body + (start >> 3);
+// Sliding-bit-buffer decoder state: one byte load per 8 stream bits instead
+// of an 8-byte load per symbol. `body` must be padded >= 16 bytes past the
+// stream end.
+struct EtWalker {
+  const uint8_t* p = nullptr;
   uint64_t buf = 0;
   int nbits = 0;
-  long long pos = start;
-  // prime the buffer and drop the sub-byte phase
-  while (nbits <= 56) {
-    buf |= (uint64_t)(*p++) << (56 - nbits);
-    nbits += 8;
-  }
-  buf <<= (start & 7);
-  nbits -= (int)(start & 7);
-  const uint32_t fanout = 1u << lookup_bits;
-  while (pos < end) {
+  long long pos = 0;
+
+  inline void init(const uint8_t* body, long long start) {
+    p = body + (start >> 3);
+    buf = 0;
+    nbits = 0;
+    pos = start;
     while (nbits <= 56) {
       buf |= (uint64_t)(*p++) << (56 - nbits);
       nbits += 8;
     }
-    if (bounds && (int)bounds->size() < nsync) bounds->push_back(pos);
+    buf <<= (start & 7);  // drop the sub-byte phase
+    nbits -= (int)(start & 7);
+  }
+
+  // Decode one symbol (caller checks pos < end first). Returns the symbol.
+  inline uint8_t step(const int32_t* lut, int lookup_bits) {
+    while (nbits <= 56) {
+      buf |= (uint64_t)(*p++) << (56 - nbits);
+      nbits += 8;
+    }
     int len = 1;
     uint8_t sym = 0;
     int32_t tid = 0;
     int consumed = 0;
     for (;;) {
       const uint32_t idx = (uint32_t)((buf << consumed) >> (64 - lookup_bits));
-      const int32_t e = lut[(uint32_t)tid * fanout + idx];
+      const int32_t e = lut[(uint32_t)tid * (1u << lookup_bits) + idx];
       if (e > 0) {
         len = e >> 8;
         sym = (uint8_t)(e & 0xFF);
@@ -347,13 +361,12 @@ static long long et_walk_fast(const uint8_t* body, long long start,
       consumed += lookup_bits;
       if (consumed >= 32) break;
     }
-    syms.push_back(sym);
     buf <<= len;
     nbits -= len;
     pos += len;
+    return sym;
   }
-  return pos;
-}
+};
 
 // Threaded single-pass speculative chunk decode ("gap array" scheme, cf. the
 // GPU decoders in PAPERS.md): every chunk decodes once in parallel from its
@@ -375,66 +388,148 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
   const int k = et_nthreads(nthreads);
   constexpr int NSYNC = 64;  // boundary positions recorded per chunk
 
+  constexpr int GAPCAP = 96;  // serially-decoded symbols bridging the gap
   struct Chunk {
-    std::vector<uint8_t> syms;        // speculative decode from the guess
-    std::vector<long long> bounds;    // start bits of the first NSYNC codes
+    long long bounds[NSYNC];  // start bits of the first NSYNC codes (guess walk)
+    uint8_t gap[GAPCAP];      // true symbols between entry and the sync point
     long long exit = 0;
-    long long valid_from = 0;         // symbol index where decode is correct
+    long long count = 0;      // codes in the guess walk
+    long long entry = 0;      // true entry (after confirmation)
+    long long emit = 0;       // true codes in this chunk
+    long long from = 0;       // scratch index of the first synced code
+    long long ngap = 0;
+    int nbounds = 0;
+    bool rewalk = false;      // no sync within the window: emit pass re-walks
   };
   std::vector<Chunk> ch((size_t)nc);
 
-  // --- pass 1: speculative parallel decode of every chunk -----------------
+  // Per-chunk scratch for the speculative symbols. chunk_bits/2 covers every
+  // realistic stream (> 2 syms/bit is impossible; exactly 1 sym/bit needs a
+  // 1-bit code on every symbol); the rare overflow re-walks in the emit pass.
+  const long long cap = chunk_bits / 2;
+  std::unique_ptr<uint8_t[]> scratch(new uint8_t[(size_t)(nc * cap)]);
+  const bool trace = std::getenv("ENTREEPY_TRACE_NATIVE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!trace) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[native] %s %.2fms\n", name,
+                 std::chrono::duration<double, std::milli>(now - tick).count());
+    tick = now;
+  };
+  lap("alloc");
+
+  // --- pass 1: parallel speculative decode from each chunk's own start ----
   et_parallel_for(nc, k, [&](long long i) {
     Chunk& c = ch[(size_t)i];
     const long long end = ((i + 1) * chunk_bits < avail) ? (i + 1) * chunk_bits : avail;
-    c.syms.reserve((size_t)(chunk_bits / 4));
-    c.bounds.reserve(NSYNC);
-    c.exit = et_walk_fast(body, i * chunk_bits, end, lut, lookup_bits, c.syms,
-                          &c.bounds, NSYNC);
+    uint8_t* const s = scratch.get() + i * cap;
+    // hot state in locals: writes through `s`/`c` must not pin the counters
+    // (or the walker) to memory via aliasing
+    long long bounds[NSYNC];
+    int nb = 0;
+    long long count = 0;
+    EtWalker w;
+    w.init(body, i * chunk_bits);
+    while (w.pos < end && count < cap) {
+      if (nb < NSYNC) bounds[nb++] = w.pos;
+      s[count++] = w.step(lut, lookup_bits);
+    }
+    while (w.pos < end) {  // scratch exhausted (pathological): count only
+      c.rewalk = true;
+      w.step(lut, lookup_bits);
+      ++count;
+    }
+    c.exit = w.pos;
+    c.count = count;
+    c.nbounds = nb;
+    std::memcpy(c.bounds, bounds, (size_t)nb * sizeof(long long));
   });
+  lap("pass1");
 
-  // --- serial confirmation: link exits to recorded boundaries -------------
+  // --- serial confirmation ("gap" decode): from each chunk's true entry,
+  // decode serially until the walk lands on one of the guess walk's recorded
+  // boundaries — prefix codes self-synchronize, so this takes a handful of
+  // symbols; from that point the speculative decode is exact --------------
   long long entry = 0;
   for (long long i = 0; i < nc; ++i) {
     Chunk& c = ch[(size_t)i];
     const long long end = ((i + 1) * chunk_bits < avail) ? (i + 1) * chunk_bits : avail;
+    c.entry = entry;
+    if (c.rewalk) {
+      // scratch overflow (pathological stream): count from the true entry;
+      // the emit pass decodes again, writing straight into the output
+      EtWalker w;
+      w.init(body, entry);
+      long long cnt = 0;
+      while (w.pos < end) {
+        w.step(lut, lookup_bits);
+        ++cnt;
+      }
+      c.exit = w.pos;
+      c.emit = cnt;
+      entry = c.exit;
+      continue;
+    }
+    EtWalker w;
+    w.init(body, entry);
+    int j = 0;
     long long vf = -1;
-    for (size_t j = 0; j < c.bounds.size(); ++j) {
-      if (c.bounds[j] == entry) {
-        vf = (long long)j;
+    while (w.pos < end) {
+      while (j < c.nbounds && c.bounds[j] < w.pos) ++j;
+      if (j < c.nbounds && c.bounds[j] == w.pos) {
+        vf = j;
         break;
       }
-      if (c.bounds[j] > entry) break;
+      if (c.ngap >= GAPCAP) break;  // sync window exhausted
+      c.gap[c.ngap++] = w.step(lut, lookup_bits);
     }
-    if (vf < 0) {
-      // guess never synced before `entry` (or entry beyond the recorded
-      // window): re-walk this chunk from the true entry
-      c.syms.clear();
-      c.exit = et_walk_fast(body, entry, end, lut, lookup_bits, c.syms, nullptr, 0);
-      c.valid_from = 0;
+    if (vf >= 0) {
+      c.from = vf;
+      c.emit = c.ngap + (c.count - vf);  // gap + synced suffix
     } else {
-      c.valid_from = vf;
+      // no sync within the window (pathological): finish this chunk serially
+      long long cnt = c.ngap;
+      while (w.pos < end) {
+        w.step(lut, lookup_bits);
+        ++cnt;
+      }
+      c.exit = w.pos;
+      c.emit = cnt;
+      c.ngap = 0;
+      c.rewalk = true;
     }
     entry = c.exit;
   }
+  lap("confirm");
 
-  // --- offsets + parallel copy-out ---------------------------------------
+  // --- offsets + parallel emit straight into the output buffer ------------
   std::vector<long long> off((size_t)nc + 1);
   off[0] = 0;
-  for (long long i = 0; i < nc; ++i)
-    off[(size_t)i + 1] =
-        off[(size_t)i] + (long long)ch[(size_t)i].syms.size() - ch[(size_t)i].valid_from;
+  for (long long i = 0; i < nc; ++i) off[(size_t)i + 1] = off[(size_t)i] + ch[(size_t)i].emit;
   if (off[(size_t)nc] < n_symbols) return -2;
 
   et_parallel_for(nc, k, [&](long long i) {
     const long long start = off[(size_t)i];
     if (start >= n_symbols) return;
     const Chunk& c = ch[(size_t)i];
-    long long cnt = (long long)c.syms.size() - c.valid_from;
+    long long cnt = c.emit;
     if (start + cnt > n_symbols) cnt = n_symbols - start;
-    if (cnt > 0)
-      std::memcpy(out + start, c.syms.data() + c.valid_from, (size_t)cnt);
+    if (cnt <= 0) return;
+    if (!c.rewalk) {
+      const long long g = c.ngap < cnt ? c.ngap : cnt;
+      std::memcpy(out + start, c.gap, (size_t)g);
+      if (cnt > g)
+        std::memcpy(out + start + g, scratch.get() + i * cap + c.from,
+                    (size_t)(cnt - g));
+      return;
+    }
+    EtWalker w;
+    w.init(body, c.entry);
+    uint8_t* o = out + start;
+    for (long long j = 0; j < cnt; ++j) o[j] = w.step(lut, lookup_bits);
   });
+  lap("emit");
   return n_symbols;
 }
 

@@ -30,7 +30,15 @@ DEVICE_MIN_BYTES = 1 << 16
 def _device_min() -> int:
     env = os.environ.get("ENTREEPY_DEVICE_MIN")
     if env is not None:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"ignoring non-integer ENTREEPY_DEVICE_MIN={env!r} (want bytes)",
+                stacklevel=2,
+            )
     from . import runtime
 
     if runtime.available():

@@ -22,10 +22,10 @@ from .lut import DecodeLut, build_decode_lut, lut_lookup_host
 def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
     """Bit-pack ``data`` (uint8[n]) with ``table`` → (body bytes, total bits).
 
-    Parallel formulation: an exclusive prefix sum of code lengths gives every
-    symbol's absolute output bit offset; each code then lands in at most two
-    consecutive u32 words (code length <= 32), deposited with a scatter-add
-    (codes never overlap, so add == or).
+    Dispatches to the C++ runtime when available, else the pure-numpy
+    reference (:func:`pack_body_np`). Both are bit-identical; the numpy path
+    is the independent correctness anchor the native/device paths are tested
+    against.
     """
     data = np.asarray(data, dtype=np.uint8)
     if data.size == 0:
@@ -36,7 +36,17 @@ def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
     native = runtime.pack_body(data, table.codes, table.lengths)
     if native is not None:
         return native
+    return pack_body_np(data, table)
 
+
+def pack_body_np(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
+    """Pure-numpy pack: an exclusive prefix sum of code lengths gives every
+    symbol's absolute output bit offset; each code then lands in at most two
+    consecutive u32 words (code length <= 32), deposited with a scatter-add
+    (codes never overlap, so add == or)."""
+    data = np.asarray(data, dtype=np.uint8)
+    if data.size == 0:
+        return b"", 0
     lens = table.lengths[data].astype(np.int64)
     if (lens == 0).any():
         bad = int(data[lens == 0][0])
@@ -65,13 +75,18 @@ def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
 
 
 def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
-    """Serial LUT decode of a packed body → uint8[n_symbols]."""
+    """LUT decode of a packed body → uint8[n_symbols] (C++ runtime when
+    available, else the pure-Python reference :func:`unpack_body_np`)."""
     from .. import runtime
 
     native = runtime.unpack_body(body, lut.flat, lut.lookup_bits, n_symbols)
     if native is not None:
         return native
+    return unpack_body_np(body, lut, n_symbols)
 
+
+def unpack_body_np(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
+    """Pure-Python serial LUT walk — the independent correctness anchor."""
     buf = np.frombuffer(body, dtype=np.uint8)
     # Zero-pad so any 32-bit window read beyond the stream end is valid.
     padded = np.zeros(((buf.size + 3) // 4 + 2) * 4, dtype=np.uint8)

@@ -71,30 +71,15 @@ def _fsm_step(table_2d, n_cols: int, state, nibble):
     return jnp.sum(row * sel[:, :, None], axis=1)  # [lanes, n_cols]
 
 
-@partial(jax.jit, static_argnames=("max_passes",))
-def fsm_decode(nibbles, table_full, table_sync, n_real_lanes, max_passes: int = MAX_SYNC_PASSES):
-    """Decode all chunks.
+def self_sync_entries(sync_pass, lanes: int, n_real_lanes, max_passes: int):
+    """Iterate chunk entry states to a fixed point (traceable; shared by the
+    scan, Pallas, and sharded decoders).
 
-    nibbles: int32[lanes, K]; table_full: bf16[256, 16*6]; table_sync:
-    bf16[256, 16] (next-state column only); n_real_lanes: i32 scalar — lanes
-    beyond it are power-of-two bucketing pad, whose all-zero content need not
-    (and in general does not) self-synchronize, so they are excluded from the
-    fixed-point test. Returns (packed uint32[lanes, K] — up to 4 symbols
-    MSB-first per step, counts int32[lanes, K], unconverged bool — True if
-    the real lanes' entry states did not reach a fixed point within
-    ``max_passes``; callers fall back to the exact host decoder then).
-    """
-    lanes, k = nibbles.shape
-    xs = nibbles.T  # [K, lanes] — scan feeds one nibble column per step
+    ``sync_pass(entries) -> new_entries`` runs one full pass; lanes past
+    ``n_real_lanes`` are power-of-two bucketing pad whose all-zero content
+    need not self-synchronize, so they are excluded from the convergence
+    test. Returns (entries, unconverged)."""
     real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
-
-    def sync_step(state, x):
-        vals = _fsm_step(table_sync, 1, state, x)
-        return vals[:, 0].astype(jnp.int32), None
-
-    def sync_pass(entries):
-        exits, _ = jax.lax.scan(sync_step, entries, xs)
-        return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
 
     def changed(entries, prev):
         return jnp.any(jnp.logical_and(entries != prev, real))
@@ -111,7 +96,34 @@ def fsm_decode(nibbles, table_full, table_sync, n_real_lanes, max_passes: int = 
     entries, prev, _ = jax.lax.while_loop(
         cond, body, (sync_pass(entries0), entries0 - 1, jnp.int32(0))
     )
-    unconverged = changed(entries, prev)
+    return entries, changed(entries, prev)
+
+
+@partial(jax.jit, static_argnames=("max_passes",))
+def fsm_decode(nibbles, table_full, table_sync, n_real_lanes, max_passes: int = MAX_SYNC_PASSES):
+    """Decode all chunks.
+
+    nibbles: int32[lanes, K]; table_full: bf16[256, 16*6]; table_sync:
+    bf16[256, 16] (next-state column only); n_real_lanes: i32 scalar — lanes
+    beyond it are power-of-two bucketing pad, whose all-zero content need not
+    (and in general does not) self-synchronize, so they are excluded from the
+    fixed-point test. Returns (packed uint32[lanes, K] — up to 4 symbols
+    MSB-first per step, counts int32[lanes, K], unconverged bool — True if
+    the real lanes' entry states did not reach a fixed point within
+    ``max_passes``; callers fall back to the exact host decoder then).
+    """
+    lanes, k = nibbles.shape
+    xs = nibbles.T  # [K, lanes] — scan feeds one nibble column per step
+
+    def sync_step(state, x):
+        vals = _fsm_step(table_sync, 1, state, x)
+        return vals[:, 0].astype(jnp.int32), None
+
+    def sync_pass(entries):
+        exits, _ = jax.lax.scan(sync_step, entries, xs)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+
+    entries, unconverged = self_sync_entries(sync_pass, lanes, n_real_lanes, max_passes)
 
     def emit_step(state, x):
         vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)

@@ -188,37 +188,25 @@ def emit_pass_pallas(nibbles_t, table_full, entries, interpret: bool = False):
 
 @partial(jax.jit, static_argnames=("max_passes", "interpret"))
 def fsm_decode_pallas(nibbles, table_full, table_sync, n_real_lanes,
-                      max_passes: int = 24, interpret: bool = False):
+                      max_passes: int | None = None, interpret: bool = False):
     """Pallas twin of ops.decode.fsm_decode: same inputs/outputs, with tables
     in the pallas [256, cols*16] layout.
 
     nibbles: int32[lanes, K] -> (packed uint32[lanes, K], counts int8
     [lanes, K], unconverged bool).
     """
+    from .decode import MAX_SYNC_PASSES, self_sync_entries
+
     lanes, k = nibbles.shape
     xs = nibbles.T
-    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
 
     def sync_pass(entries):
         exits = sync_pass_pallas(xs, table_sync, entries, interpret=interpret)
         return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
 
-    def changed(entries, prev):
-        return jnp.any(jnp.logical_and(entries != prev, real))
-
-    def cond(c):
-        entries, prev, it = c
-        return jnp.logical_and(it < max_passes, changed(entries, prev))
-
-    def body(c):
-        entries, _, it = c
-        return sync_pass(entries), entries, it + 1
-
-    entries0 = jnp.zeros(lanes, dtype=jnp.int32)
-    entries, prev, _ = jax.lax.while_loop(
-        cond, body, (sync_pass(entries0), entries0 - 1, jnp.int32(0))
+    entries, unconverged = self_sync_entries(
+        sync_pass, lanes, n_real_lanes, max_passes or MAX_SYNC_PASSES
     )
-    unconverged = changed(entries, prev)
 
     packed, counts, _ = emit_pass_pallas(xs, table_full, entries, interpret=interpret)
     return packed.T, counts.T.astype(jnp.int8), unconverged

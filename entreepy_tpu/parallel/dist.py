@@ -40,6 +40,7 @@ from ..ops.decode import (
     _table_bf16,
     _table_sync_bf16,
     compact_symbols,
+    self_sync_entries,
     words_to_nibbles,
 )
 from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
@@ -144,7 +145,6 @@ def _decode_fn(mesh: Mesh, axis: str):
         def local(nibbles, table_full, table_sync, n_real_lanes):
             xs = nibbles.T  # [K, lanes_local]
             my = jax.lax.axis_index(axis) * lanes_local
-            real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes[0]
 
             def sync_step(state, x):
                 vals = _fsm_step(table_sync, 1, state, x)
@@ -156,22 +156,9 @@ def _decode_fn(mesh: Mesh, axis: str):
                 exits = jax.lax.all_gather(exits_local, axis, tiled=True)
                 return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
 
-            def changed(entries, prev):
-                return jnp.any(jnp.logical_and(entries != prev, real))
-
-            def cond(c):
-                entries, prev, it = c
-                return jnp.logical_and(it < max_passes, changed(entries, prev))
-
-            def body(c):
-                entries, _, it = c
-                return sync_pass(entries), entries, it + 1
-
-            entries0 = jnp.zeros(lanes, dtype=jnp.int32)
-            entries, prev, _ = jax.lax.while_loop(
-                cond, body, (sync_pass(entries0), entries0 - 1, jnp.int32(0))
+            entries, unconverged = self_sync_entries(
+                sync_pass, lanes, n_real_lanes[0], max_passes
             )
-            unconverged = changed(entries, prev)
 
             def emit_step(state, x):
                 vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)

@@ -119,14 +119,18 @@ def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
     data = np.ascontiguousarray(data, dtype=np.uint8)
     codes_c = np.ascontiguousarray(codes, dtype=np.uint32)
     lens_c = np.ascontiguousarray(lengths, dtype=np.uint8)
-    max_bits = int(lengths.max(initial=0)) * data.size
     if data.size >= PARALLEL_MIN_BYTES:
-        out = np.zeros(max_bits // 8 + 2, dtype=np.uint8)  # pre-zeroed: OR-packing
+        # exact output size from the (threaded) histogram — worst-case sizing
+        # (max_len * n bits) would over-allocate ~4x on large inputs
+        counts = np.zeros(256, dtype=np.int64)
+        lib.et_histogram(data, data.size, counts, 0)
+        exact_bits = int((counts * lengths.astype(np.int64)).sum())
+        out = np.zeros(exact_bits // 8 + 2, dtype=np.uint8)  # pre-zeroed: OR-packing
         total = lib.et_pack_parallel(
             data, data.size, codes_c, lens_c, PACK_BLOCK_BYTES, out, 0
         )
     else:
-        out = np.empty(max_bits // 8 + 2, dtype=np.uint8)
+        out = np.empty(int(lengths.max(initial=0)) * data.size // 8 + 2, dtype=np.uint8)
         total = lib.et_pack_body(data, data.size, codes_c, lens_c, out)
     if total < 0:
         raise ValueError("symbol without a code in the table")
@@ -137,9 +141,11 @@ def unpack_body(body: bytes, lut_flat: np.ndarray, lookup_bits: int, n_symbols: 
     """Packed body -> uint8[n_symbols] or None if no lib. Raises on corrupt
     or truncated streams (the reference trusts the header instead).
 
-    Large bodies decode chunk-parallel across host threads via the same
-    self-synchronization fixed point as the TPU FSM decoder; pathological
-    streams that defeat self-sync fall back to the serial walk."""
+    Large bodies decode chunk-parallel across host threads via the
+    speculative gap-array scheme (prefix-code self-synchronization; the host
+    twin of the TPU FSM decoder); it handles pathological chunks internally
+    with serial re-walks and reports corrupt streams just like the serial
+    walk does."""
     lib = _load()
     if lib is None:
         return None
@@ -148,13 +154,12 @@ def unpack_body(body: bytes, lut_flat: np.ndarray, lookup_bits: int, n_symbols: 
     padded[: buf.size] = buf
     lut_c = np.ascontiguousarray(lut_flat, dtype=np.int32)
     out = np.empty(max(n_symbols, 1), dtype=np.uint8)
-    r = -3
     if buf.size >= PARALLEL_MIN_BYTES:
         r = lib.et_decode_parallel(
             padded, buf.size, lut_c, lookup_bits, DECODE_CHUNK_BITS, out,
             n_symbols, 0, 32,
         )
-    if r == -3:  # small input, or self-sync defeated: exact serial walk
+    else:
         r = lib.et_unpack_body(padded, buf.size, lut_c, lookup_bits, out, n_symbols)
     if r == -1:
         raise ValueError("invalid bitstream: no code matches window")

@@ -62,16 +62,6 @@ long long et_pack_body(const uint8_t* data, long long n, const uint32_t* codes,
 // Flat multi-level LUT walk (layout of format/lut.py): entry > 0 is
 // (total_len << 8) | symbol, entry < 0 is -child_table_id, 0 is invalid.
 // Returns symbols decoded, or -1 on invalid window, -2 on truncated body.
-static inline uint32_t et_load32(const uint8_t* body, long long bitpos) {
-  // 32 stream bits starting at `bitpos` (caller pads body by >= 16 bytes).
-  uint64_t w;
-  std::memcpy(&w, body + (bitpos >> 3), 8);
-#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-  w = __builtin_bswap64(w);
-#endif
-  return (uint32_t)((w << (bitpos & 7)) >> 32);
-}
-
 long long et_unpack_body(const uint8_t* body, long long body_bytes,
                          const int32_t* lut, int lookup_bits, uint8_t* out,
                          long long n_symbols) {
@@ -324,6 +314,7 @@ struct EtWalker {
   uint64_t buf = 0;
   int nbits = 0;
   long long pos = 0;
+  bool bad = false;  // last step hit an invalid window (corrupt stream)
 
   inline void init(const uint8_t* body, long long start) {
     p = body + (start >> 3);
@@ -348,6 +339,7 @@ struct EtWalker {
     uint8_t sym = 0;
     int32_t tid = 0;
     int consumed = 0;
+    bad = false;
     for (;;) {
       const uint32_t idx = (uint32_t)((buf << consumed) >> (64 - lookup_bits));
       const int32_t e = lut[(uint32_t)tid * (1u << lookup_bits) + idx];
@@ -356,10 +348,16 @@ struct EtWalker {
         sym = (uint8_t)(e & 0xFF);
         break;
       }
-      if (e == 0) break;  // invalid window: emit 0, advance 1 bit
+      if (e == 0) {  // invalid window: emit 0, advance 1 bit, flag
+        bad = true;
+        break;
+      }
       tid = -e;
       consumed += lookup_bits;
-      if (consumed >= 32) break;
+      if (consumed >= 32) {  // malformed LUT / corrupt stream
+        bad = true;
+        break;
+      }
     }
     buf <<= len;
     nbits -= len;
@@ -374,9 +372,12 @@ struct EtWalker {
 // codeword boundary positions; prefix codes self-synchronize, so the true
 // entry of chunk i+1 (= chunk i's exit) is almost always one of those
 // recorded boundaries, and a serial O(chunks) confirmation walk just looks
-// it up. Chunks whose guess never synced (rare, pathological) are re-walked
-// serially from their now-known true entry. Returns symbols written, or
-// -2 (truncated stream).
+// it up (plus a handful of serially-decoded "gap" symbols bridging entry to
+// the sync point). Chunks whose guess never synced within the recorded
+// window (rare, pathological) are finished serially. Returns symbols
+// written, -1 (corrupt stream: some true-path codeword hit an invalid LUT
+// window), or -2 (truncated stream). max_passes is kept for ABI stability
+// (the single-pass scheme has no fixed-point iteration).
 long long et_decode_parallel(const uint8_t* body, long long body_bytes,
                              const int32_t* lut, int lookup_bits,
                              long long chunk_bits, uint8_t* out,
@@ -398,8 +399,9 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
     long long emit = 0;       // true codes in this chunk
     long long from = 0;       // scratch index of the first synced code
     long long ngap = 0;
+    long long last_bad = -1;  // guess-walk index of the last invalid window
     int nbounds = 0;
-    bool rewalk = false;      // no sync within the window: emit pass re-walks
+    bool rewalk = false;      // overflow / no sync: emit pass re-walks
   };
   std::vector<Chunk> ch((size_t)nc);
 
@@ -429,19 +431,24 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
     long long bounds[NSYNC];
     int nb = 0;
     long long count = 0;
+    long long last_bad = -1;
     EtWalker w;
     w.init(body, i * chunk_bits);
     while (w.pos < end && count < cap) {
       if (nb < NSYNC) bounds[nb++] = w.pos;
-      s[count++] = w.step(lut, lookup_bits);
+      s[count] = w.step(lut, lookup_bits);
+      if (w.bad) last_bad = count;
+      ++count;
     }
-    while (w.pos < end) {  // scratch exhausted (pathological): count only
+    while (w.pos < end) {  // scratch exhausted (run-heavy stream): count only
       c.rewalk = true;
       w.step(lut, lookup_bits);
+      if (w.bad) last_bad = count;
       ++count;
     }
     c.exit = w.pos;
     c.count = count;
+    c.last_bad = last_bad;
     c.nbounds = nb;
     std::memcpy(c.bounds, bounds, (size_t)nb * sizeof(long long));
   });
@@ -451,26 +458,12 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
   // decode serially until the walk lands on one of the guess walk's recorded
   // boundaries — prefix codes self-synchronize, so this takes a handful of
   // symbols; from that point the speculative decode is exact --------------
+  std::atomic<bool> corrupt(false);
   long long entry = 0;
   for (long long i = 0; i < nc; ++i) {
     Chunk& c = ch[(size_t)i];
     const long long end = ((i + 1) * chunk_bits < avail) ? (i + 1) * chunk_bits : avail;
     c.entry = entry;
-    if (c.rewalk) {
-      // scratch overflow (pathological stream): count from the true entry;
-      // the emit pass decodes again, writing straight into the output
-      EtWalker w;
-      w.init(body, entry);
-      long long cnt = 0;
-      while (w.pos < end) {
-        w.step(lut, lookup_bits);
-        ++cnt;
-      }
-      c.exit = w.pos;
-      c.emit = cnt;
-      entry = c.exit;
-      continue;
-    }
     EtWalker w;
     w.init(body, entry);
     int j = 0;
@@ -483,15 +476,22 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
       }
       if (c.ngap >= GAPCAP) break;  // sync window exhausted
       c.gap[c.ngap++] = w.step(lut, lookup_bits);
+      if (w.bad) corrupt.store(true, std::memory_order_relaxed);
     }
     if (vf >= 0) {
+      // The guess walk is the true decode from bounds[vf] on, so its exit is
+      // the true exit even when the scratch overflowed (vf < NSYNC <= cap);
+      // overflowed chunks keep rewalk=true and re-decode in the emit pass.
       c.from = vf;
       c.emit = c.ngap + (c.count - vf);  // gap + synced suffix
+      if (!c.rewalk && c.last_bad >= vf)
+        corrupt.store(true, std::memory_order_relaxed);
     } else {
       // no sync within the window (pathological): finish this chunk serially
       long long cnt = c.ngap;
       while (w.pos < end) {
         w.step(lut, lookup_bits);
+        if (w.bad) corrupt.store(true, std::memory_order_relaxed);
         ++cnt;
       }
       c.exit = w.pos;
@@ -527,9 +527,15 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
     EtWalker w;
     w.init(body, c.entry);
     uint8_t* o = out + start;
-    for (long long j = 0; j < cnt; ++j) o[j] = w.step(lut, lookup_bits);
+    bool bad = false;
+    for (long long j = 0; j < cnt; ++j) {
+      o[j] = w.step(lut, lookup_bits);
+      bad |= w.bad;
+    }
+    if (bad) corrupt.store(true, std::memory_order_relaxed);
   });
   lap("emit");
+  if (corrupt.load()) return -1;
   return n_symbols;
 }
 

@@ -94,6 +94,76 @@ def test_stitch_matches_numpy():
     assert np.array_equal(nat_words[:n], ref_words[:n])
 
 
+@pytest.fixture(scope="module")
+def big_text(midsummer) -> bytes:
+    # > PARALLEL_MIN_BYTES compressed: exercises et_pack_parallel and
+    # et_decode_parallel (the threaded gap-array paths)
+    return midsummer * 12  # ~1.3 MB -> ~0.8 MB body
+
+
+def test_parallel_paths_roundtrip_and_match_numpy(big_text):
+    from entreepy_tpu.format import build_code_table, histogram
+    from entreepy_tpu.format.hostcodec import pack_body_np, unpack_body_np
+    from entreepy_tpu.format.lut import build_decode_lut
+
+    arr = np.frombuffer(big_text, np.uint8)
+    table = build_code_table(histogram(arr))
+    assert arr.size >= runtime.PARALLEL_MIN_BYTES
+
+    body_nat, bits_nat = runtime.pack_body(arr, table.codes, table.lengths)
+    body_np, bits_np = pack_body_np(arr, table)
+    assert bits_nat == bits_np and body_nat == body_np
+
+    lut = build_decode_lut(table)
+    assert len(body_nat) >= runtime.PARALLEL_MIN_BYTES
+    out_nat = runtime.unpack_body(body_nat, lut.flat, lut.lookup_bits, arr.size)
+    assert out_nat.tobytes() == big_text
+    # spot-check the numpy anchor on a prefix (full 1.3 MB is too slow in Python)
+    out_np = unpack_body_np(body_np, lut, 5000)
+    assert out_np.tobytes() == big_text[:5000]
+
+
+def test_parallel_decode_corrupt_raises(big_text):
+    # Only meaningful when the code table is not full at every LUT level --
+    # build a stream with a symbol whose absence makes windows invalid.
+    from entreepy_tpu import compress, decompress
+
+    et = bytearray(compress(big_text, backend="host"))
+    # flip bytes mid-body until decode either raises or differs
+    et[len(et) // 2] ^= 0xFF
+    try:
+        out = decompress(bytes(et), backend="host")
+        # Full Huffman trees make every window valid, so corruption cannot
+        # always be *detected* -- but it must never be silently wrong AND
+        # claimed exact: a changed body must not reproduce the input.
+        assert out != big_text
+    except ValueError:
+        pass
+
+
+def test_parallel_decode_truncated_raises(big_text):
+    from entreepy_tpu import compress
+
+    et = compress(big_text, backend="host")
+    from entreepy_tpu.format import parse_header
+
+    hdr = parse_header(et)
+    cut = et[: hdr.body_start + (len(et) - hdr.body_start) // 2]
+    from entreepy_tpu.format import decompress_host
+
+    with pytest.raises(ValueError, match="ended early"):
+        decompress_host(cut)
+
+
+def test_parallel_decode_run_heavy_overflow_path(midsummer):
+    # dominant 1-bit-code symbol: chunks overflow the speculative scratch
+    data = (b"a" * 4000 + b"bc") * 400  # ~1.6 MB, 'a' gets a 1-bit code
+    from entreepy_tpu import compress, decompress
+
+    et = compress(data, backend="host")
+    assert decompress(et, backend="host") == data
+
+
 def test_assemble_matches_numpy():
     from entreepy_tpu.ops.bitpack import _assemble_payloads_np
 

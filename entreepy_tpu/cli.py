@@ -44,6 +44,7 @@ Commands:
 
 Command Options:
     -o, --output    output file (default: [file].et or decoded_[file])
+    --backend       force a codec backend: host | device (default: auto)
 
 Examples:
     entreepy -d c text.txt -o text.txt.et
@@ -67,7 +68,7 @@ class Options:
     extra: dict = field(default_factory=dict)
 
 
-LONG_FLAGS = {"help", "print", "debug", "test", "output"}
+LONG_FLAGS = {"help", "print", "debug", "test", "output", "backend"}
 
 
 def parse_args(argv: list[str]) -> Options:
@@ -77,7 +78,7 @@ def parse_args(argv: list[str]) -> Options:
     if not argv:
         return opts  # help
 
-    state = "normal"  # normal | in_path | out_path
+    state = "normal"  # normal | in_path | out_path | backend
     for arg in argv:
         if state == "in_path":
             opts.file_in = arg
@@ -85,6 +86,12 @@ def parse_args(argv: list[str]) -> Options:
             continue
         if state == "out_path":
             opts.file_out = arg
+            state = "normal"
+            continue
+        if state == "backend":
+            if arg not in ("host", "device"):
+                raise CliError(f"invalid backend: {arg} (want host or device)")
+            opts.backend = arg
             state = "normal"
             continue
         if arg.startswith("--"):
@@ -101,6 +108,8 @@ def parse_args(argv: list[str]) -> Options:
                 opts.dry = True
             elif name == "output":
                 state = "out_path"
+            elif name == "backend":
+                state = "backend"
             else:
                 raise CliError(f"invalid option: {arg}")
         elif arg.startswith("-"):
@@ -124,6 +133,11 @@ def parse_args(argv: list[str]) -> Options:
             state = "in_path"
         else:
             raise CliError(f"invalid command: {arg}")
+
+    if state == "out_path":
+        raise CliError("missing value after --output")
+    if state == "backend":
+        raise CliError("missing value after --backend")
 
     if opts.mode != "none" and not opts.file_in:
         raise CliError("no input file")

@@ -50,6 +50,16 @@ def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernels on real TPUs; the XLA scan path elsewhere (CPU
+    meshes, tests) and under ENTREEPY_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("ENTREEPY_NO_PALLAS"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def words_to_nibbles(words: jax.Array, lanes: int, k: int) -> jax.Array:
     """uint32[lanes * k/8] (big-endian bit order) -> int32[lanes, k] nibbles."""
     shifts = jnp.arange(28, -1, -4, dtype=U32)  # MSB nibble first
@@ -202,9 +212,19 @@ def decode_body_device(
     with phase("device_fsm_decode", n_symbols):
         words = jnp.asarray(padded.view(">u4").astype(np.uint32))
         nibbles = words_to_nibbles(words, lanes, k)
-        packed, counts, unconverged = fsm_decode(
-            nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
-        )
+        if _use_pallas():
+            from .pallas_fsm import fsm_decode_pallas, pallas_table
+
+            packed, counts, unconverged = fsm_decode_pallas(
+                nibbles,
+                jnp.asarray(pallas_table(fsm), jnp.bfloat16),
+                _table_sync_bf16(fsm),
+                jnp.int32(n_real_lanes),
+            )
+        else:
+            packed, counts, unconverged = fsm_decode(
+                nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
+            )
     if bool(unconverged):
         # Pathologically periodic streams can defeat chunk self-sync; the
         # exact serial host decoder is the always-correct fallback.

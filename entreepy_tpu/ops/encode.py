@@ -69,7 +69,19 @@ def encode_blocks_device(
         valid_np = np.concatenate([valid_np, np.zeros(pad, np.int32)])
 
     codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
-    words, emitted, acc, nbits = pack_blocks_jit(
+    pack = pack_blocks_jit
+    from .decode import _use_pallas
+
+    if _use_pallas():
+        try:  # fused kernel needs tile-compatible shapes
+            from .pallas_fsm import _tiles
+            from .pallas_pack import pack_blocks_pallas
+
+            _tiles(n_bucket, block_bytes)
+            pack = pack_blocks_pallas
+        except ValueError:
+            pass
+    words, emitted, acc, nbits = pack(
         jnp.asarray(blocks_np), jnp.asarray(valid_np), codetbl
     )
     return assemble_payloads(

@@ -116,6 +116,28 @@ def test_cli_corrupt_input(tmp_path):
     assert b"bad magic" in r.stderr
 
 
+def test_cli_empty_file(tmp_path):
+    # degenerate input (SURVEY.md §2: out of the reference's contract, which
+    # emits undecodable output) -> clean error, exit 1
+    p = tmp_path / "empty.txt"
+    p.write_bytes(b"")
+    assert main(["c", str(p)]) == 1
+
+
+def test_cli_backend_flag(tmp_path, macbeth):
+    p = tmp_path / "m.txt"
+    p.write_bytes(macbeth)
+    out = tmp_path / "m.et"
+    assert main(["c", str(p), "-o", str(out), "--backend", "host"]) == 0
+    assert out.read_bytes() == __import__("entreepy_tpu").compress(macbeth, backend="host")
+    o = parse_args(["--backend", "device", "c", "f"])
+    assert o.backend == "device"
+    with pytest.raises(CliError, match="invalid backend"):
+        parse_args(["--backend", "gpu", "c", "f"])
+    with pytest.raises(CliError, match="missing value"):
+        parse_args(["c", "f", "--backend"])
+
+
 def test_cli_missing_file(tmp_path):
     r = run_cli(["c", "nope.txt"], tmp_path)
     assert r.returncode == 1

@@ -1,6 +1,8 @@
 """.et wire-format tests: spec-derived golden bytes + an independent
 bit-string serializer cross-check + parse/validate behavior."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -81,6 +83,19 @@ def test_roundtrip_nul_bytes():
 def test_roundtrip_skewed():
     data = b"a" * 10000 + b"b"
     assert decompress_host(compress_host(data)) == data
+
+
+def test_golden_et_fixture(macbeth):
+    """Checked-in golden .et for the 477-byte Macbeth corpus (374 bytes —
+    the size the reference README documents for this file). Pins the exact
+    wire bytes against format drift across every backend."""
+    golden = (Path(__file__).parent / "data/nice.shakespeare.et").read_bytes()
+    assert len(golden) == 374
+    assert compress_host(macbeth) == golden
+    from entreepy_tpu.ops.encode import compress_device
+
+    assert compress_device(macbeth) == golden
+    assert decompress_host(golden) == macbeth
 
 
 def test_parse_header_fields(macbeth):

@@ -46,6 +46,31 @@ def test_pallas_matches_scan_tiny(tiny_text):
     assert np.array_equal(np.asarray(c1), np.asarray(c2).astype(np.int32))
 
 
+def test_pallas_pack_matches_scan_tiny(tiny_text):
+    from entreepy_tpu.ops.bitpack import code_table_cols, pack_blocks_scan
+    from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
+    from entreepy_tpu.utils.stitch import split_blocks
+
+    arr = np.frombuffer(tiny_text, np.uint8)
+    table = build_code_table(histogram(arr))
+    blocks, valid = split_blocks(arr, 16)
+    n = blocks.shape[0]
+    nb = max(8, 1 << (n - 1).bit_length())
+    if nb != n:
+        blocks = np.concatenate([blocks, np.zeros((nb - n, 16), np.uint8)])
+        valid = np.concatenate([valid, np.zeros(nb - n, np.int32)])
+    ct = jnp.asarray(code_table_cols(table.codes, table.lengths), jnp.bfloat16)
+    w1, e1, a1, n1 = pack_blocks_scan(jnp.asarray(blocks), jnp.asarray(valid), ct)
+    w2, e2, a2, n2 = pack_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(valid), ct, interpret=True
+    )
+    e1n, e2n = np.asarray(e1), np.asarray(e2)
+    assert np.array_equal(e1n, e2n)
+    assert np.array_equal(np.asarray(w1)[e1n], np.asarray(w2)[e2n])
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+
 def test_pallas_sync_table_layout_consistent(macbeth):
     # column 0 of the pallas layout must be the next-state table — identical
     # to the scan path's sync table

@@ -4,7 +4,9 @@
 Times exclude host<->device transfers (staged H2D, value-dependent readback
 of a scalar) — through this environment's slow TPU tunnel, end-to-end device
 calls are transfer-bound and not representative of pod hardware; kernel
-compute is. Run: python benchmarks/device.py [--mb 5.2]
+compute is. Also asserts on-chip bit-equality between the Pallas and XLA
+forms. Run attended (fresh-kernel Mosaic compiles can wedge the device —
+CLAUDE.md): python benchmarks/device.py [--mb 5.2]
 """
 
 from __future__ import annotations
@@ -44,13 +46,17 @@ def main() -> int:
 
     from entreepy_tpu.format import build_code_table, compress_host, histogram, parse_header
     from entreepy_tpu.format.fsm import build_decode_fsm
-    from entreepy_tpu.ops.bitpack import code_table_cols, pack_blocks_scan
+    from entreepy_tpu.ops.bitpack import code_table_cols, pack_blocks_jit
     from entreepy_tpu.ops.decode import (
         _table_bf16, _table_sync_bf16, fsm_decode, words_to_nibbles,
     )
     from entreepy_tpu.ops.pallas_fsm import fsm_decode_pallas, pallas_table
     from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
     from entreepy_tpu.utils.stitch import split_blocks
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"error: needs a TPU backend, have {jax.default_backend()}", file=sys.stderr)
+        return 1
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
     data = (src * (-(-int(args.mb * 1e6) // len(src))))[: int(args.mb * 1e6)]
@@ -77,8 +83,20 @@ def main() -> int:
         return run
 
     results = {}
-    results["pack_scan_ms"] = round(best_of(enc(pack_blocks_scan)), 1)
-    results["pack_pallas_ms"] = round(best_of(enc(pack_blocks_pallas)), 1)
+    t_scan = best_of(enc(pack_blocks_jit))  # the production XLA form (jitted)
+    t_pal = best_of(enc(pack_blocks_pallas))
+    results["pack_scan_ms"] = round(t_scan, 1)
+    results["pack_pallas_ms"] = round(t_pal, 1)
+    results["pack_pallas_MBps"] = round(mb / t_pal * 1e3, 1)
+
+    # on-chip bit-equality of the two forms
+    w1, e1, a1, n1 = pack_blocks_jit(b, v, ct)
+    w2, e2, a2, n2 = pack_blocks_pallas(b, v, ct)
+    e1n = np.asarray(e1)
+    assert np.array_equal(e1n, np.asarray(e2))
+    assert np.array_equal(np.asarray(w1)[e1n], np.asarray(w2)[e1n])
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
 
     # ---- decode kernels ----
     et = compress_host(data)
@@ -97,14 +115,23 @@ def main() -> int:
     def dec(fn, t):
         def run():
             p, c, u = fn(nib, t, ts, jnp.int32(n_real))
+            assert not bool(u), "chunk self-sync did not converge"
             return int(jnp.sum(c.astype(jnp.int32)))
         return run
 
-    results["decode_scan_ms"] = round(best_of(dec(fsm_decode, tf)), 1)
-    results["decode_pallas_ms"] = round(best_of(dec(fsm_decode_pallas, tp)), 1)
+    t_scan = best_of(dec(fsm_decode, tf))
+    t_pal = best_of(dec(fsm_decode_pallas, tp))
+    results["decode_scan_ms"] = round(t_scan, 1)
+    results["decode_pallas_ms"] = round(t_pal, 1)
+    results["decode_pallas_MBps"] = round(mb / t_pal * 1e3, 1)
+
+    p1, c1, _ = fsm_decode(nib, tf, ts, jnp.int32(n_real))
+    p2, c2, _ = fsm_decode_pallas(nib, tp, ts, jnp.int32(n_real))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2).astype(np.int32))
+
     results["corpus_MB"] = mb
-    results["pack_pallas_MBps"] = round(mb / results["pack_pallas_ms"] * 1e3, 1)
-    results["decode_pallas_MBps"] = round(mb / results["decode_pallas_ms"] * 1e3, 1)
+    results["bit_equal"] = True
     print(json.dumps(results))
     return 0
 

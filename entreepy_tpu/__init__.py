@@ -17,6 +17,19 @@ tests, ``test.zig:7-33``: pure bytes-in/bytes-out functions):
 
 __version__ = "0.1.0"
 
-from .api import compress, decompress  # noqa: E402
+from .api import (  # noqa: E402
+    compress,
+    compress_file,
+    decompress,
+    decompress_file,
+    inspect,
+)
 
-__all__ = ["compress", "decompress", "__version__"]
+__all__ = [
+    "compress",
+    "compress_file",
+    "decompress",
+    "decompress_file",
+    "inspect",
+    "__version__",
+]

@@ -67,6 +67,56 @@ def decompress(et: bytes, *, backend: str | None = None) -> bytes:
     return decompress_host(et)
 
 
+def compress_file(src, dst=None, **kwargs) -> str:
+    """Compress file ``src`` to ``dst`` (default: ``src + '.et'``, the
+    reference CLI's naming). Returns the output path."""
+    from pathlib import Path
+
+    src = Path(src)
+    dst = Path(dst) if dst is not None else src.with_name(src.name + ".et")
+    dst.write_bytes(compress(src.read_bytes(), **kwargs))
+    return str(dst)
+
+
+def decompress_file(src, dst=None, **kwargs) -> str:
+    """Decompress .et file ``src`` to ``dst`` (default: ``decoded_<name>``
+    minus the .et suffix, the reference CLI's naming). Returns the path."""
+    from pathlib import Path
+
+    src = Path(src)
+    if dst is None:
+        name = src.name[:-3] if src.name.endswith(".et") else src.name
+        dst = src.with_name(f"decoded_{name}")
+    else:
+        dst = Path(dst)
+    dst.write_bytes(decompress(src.read_bytes(), **kwargs))
+    return str(dst)
+
+
+def inspect(et: bytes) -> dict:
+    """Parsed .et header as a dict: validates magic/version and returns
+    sizes plus the symbol dictionary (symbol -> (length, code bits))."""
+    from .format import parse_header
+
+    hdr = parse_header(et)
+    table = hdr.table
+    dictionary = {
+        int(s): (int(table.lengths[s]), format(int(table.codes[s]), f"0{int(table.lengths[s])}b"))
+        for s in range(256)
+        if table.lengths[s] > 0
+    }
+    return {
+        "version": 1,
+        "num_symbols": table.num_symbols,
+        "original_bytes": hdr.body_len,
+        "compressed_bytes": len(et),
+        "body_offset": hdr.body_start,
+        "max_code_len": table.max_len,
+        "min_code_len": table.min_len,
+        "dictionary": dictionary,
+    }
+
+
 def _pick_device(backend: str | None, n_bytes: int) -> bool:
     if backend == "host":
         return False

@@ -164,6 +164,57 @@ def test_parallel_decode_run_heavy_overflow_path(midsummer):
     assert decompress(et, backend="host") == data
 
 
+def test_parallel_decode_fuzz_vs_serial():
+    """Many shapes/statistics through the gap-array decoder, each checked
+    against the serial walk (sizes straddle chunk and block boundaries)."""
+    from entreepy_tpu.format import build_code_table, histogram
+    from entreepy_tpu.format.lut import build_decode_lut
+
+    lib = runtime._load()
+    rng = np.random.default_rng(42)
+    chunk_bits = 1 << 12  # small chunks -> many boundaries at small sizes
+    cases = []
+    for size in (4097, 65536, 65537, 300_001):
+        cases.append(rng.integers(0, 256, size=size, dtype=np.uint8))  # uniform
+        cases.append(rng.integers(97, 103, size=size, dtype=np.uint8))  # narrow
+        cases.append(
+            np.repeat(rng.integers(0, 256, size // 64 + 1, dtype=np.uint8), 64)[:size]
+        )  # runs
+    for arr in cases:
+        table = build_code_table(histogram(arr))
+        body, bits = runtime.pack_body(arr, table.codes, table.lengths)
+        lut = build_decode_lut(table)
+        buf = np.frombuffer(body, np.uint8)
+        padded = np.zeros(buf.size + 16, np.uint8)
+        padded[: buf.size] = buf
+        lut_c = np.ascontiguousarray(lut.flat, np.int32)
+        out_p = np.empty(arr.size, np.uint8)
+        out_s = np.empty(arr.size, np.uint8)
+        rp = lib.et_decode_parallel(
+            padded, buf.size, lut_c, lut.lookup_bits, chunk_bits, out_p, arr.size, 0, 32
+        )
+        rs = lib.et_unpack_body(padded, buf.size, lut_c, lut.lookup_bits, out_s, arr.size)
+        assert rp == rs == arr.size
+        assert np.array_equal(out_p, out_s), f"mismatch at size={arr.size}"
+
+
+def test_trace_env_smoke(monkeypatch, capsys, macbeth):
+    monkeypatch.setenv("ENTREEPY_TRACE", "1")
+    import importlib
+
+    from entreepy_tpu.utils import trace
+
+    importlib.reload(trace)
+    try:
+        with trace.phase("unit-test", 1000):
+            pass
+        err = capsys.readouterr().err
+        assert "phase=unit-test" in err
+    finally:
+        monkeypatch.delenv("ENTREEPY_TRACE")
+        importlib.reload(trace)
+
+
 def test_assemble_matches_numpy():
     from entreepy_tpu.ops.bitpack import _assemble_payloads_np
 

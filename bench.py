@@ -96,7 +96,7 @@ def _device_kernel_decode_ms_inner(et: bytes) -> float | None:
         from entreepy_tpu.format import parse_header
         from entreepy_tpu.format.fsm import build_decode_fsm
         from entreepy_tpu.ops.decode import (
-            _table_bf16, _table_sync_bf16, _use_pallas, fsm_decode, words_to_nibbles,
+            _table_sync_bf16, select_fsm_decoder, words_to_nibbles,
         )
 
         hdr = parse_header(et)
@@ -107,14 +107,7 @@ def _device_kernel_decode_ms_inner(et: bytes) -> float | None:
         lanes = 1 << (n_real - 1).bit_length()
         padded = np.zeros(lanes * chunk_bytes, np.uint8)
         padded[: buf.size] = buf
-        if _use_pallas():  # the default device path: fused Pallas kernels
-            from entreepy_tpu.ops.pallas_fsm import fsm_decode_pallas, pallas_table
-
-            decode_fn = fsm_decode_pallas
-            tf = jnp.asarray(pallas_table(fsm), jnp.bfloat16)
-        else:
-            decode_fn = fsm_decode
-            tf = _table_bf16(fsm)
+        decode_fn, tf = select_fsm_decoder(fsm)  # pallas on TPU, scan elsewhere
         ts = _table_sync_bf16(fsm)
         words = jnp.asarray(padded.view(">u4").astype(np.uint32))  # staged H2D
         words.block_until_ready()

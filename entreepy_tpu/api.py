@@ -72,8 +72,10 @@ def compress_file(src, dst=None, **kwargs) -> str:
     reference CLI's naming). Returns the output path."""
     from pathlib import Path
 
+    from .cli import default_output_name  # lazy: cli imports api
+
     src = Path(src)
-    dst = Path(dst) if dst is not None else src.with_name(src.name + ".et")
+    dst = Path(dst) if dst is not None else Path(default_output_name("compress", str(src)))
     dst.write_bytes(compress(src.read_bytes(), **kwargs))
     return str(dst)
 
@@ -83,12 +85,10 @@ def decompress_file(src, dst=None, **kwargs) -> str:
     minus the .et suffix, the reference CLI's naming). Returns the path."""
     from pathlib import Path
 
+    from .cli import default_output_name  # lazy: cli imports api
+
     src = Path(src)
-    if dst is None:
-        name = src.name[:-3] if src.name.endswith(".et") else src.name
-        dst = src.with_name(f"decoded_{name}")
-    else:
-        dst = Path(dst)
+    dst = Path(dst) if dst is not None else Path(default_output_name("decompress", str(src)))
     dst.write_bytes(decompress(src.read_bytes(), **kwargs))
     return str(dst)
 

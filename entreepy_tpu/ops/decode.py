@@ -60,6 +60,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def select_fsm_decoder(fsm: "DecodeFsm"):
+    """(decode_fn, full-table device array) for the current backend — the
+    fused Pallas kernels on real TPUs, the XLA scan elsewhere. Both take
+    (nibbles, table_full, table_sync, n_real_lanes) and return
+    (packed, counts, unconverged)."""
+    if _use_pallas():
+        from .pallas_fsm import fsm_decode_pallas, pallas_table
+
+        return fsm_decode_pallas, jnp.asarray(pallas_table(fsm), jnp.bfloat16)
+    return fsm_decode, _table_bf16(fsm)
+
+
 def words_to_nibbles(words: jax.Array, lanes: int, k: int) -> jax.Array:
     """uint32[lanes * k/8] (big-endian bit order) -> int32[lanes, k] nibbles."""
     shifts = jnp.arange(28, -1, -4, dtype=U32)  # MSB nibble first
@@ -212,19 +224,10 @@ def decode_body_device(
     with phase("device_fsm_decode", n_symbols):
         words = jnp.asarray(padded.view(">u4").astype(np.uint32))
         nibbles = words_to_nibbles(words, lanes, k)
-        if _use_pallas():
-            from .pallas_fsm import fsm_decode_pallas, pallas_table
-
-            packed, counts, unconverged = fsm_decode_pallas(
-                nibbles,
-                jnp.asarray(pallas_table(fsm), jnp.bfloat16),
-                _table_sync_bf16(fsm),
-                jnp.int32(n_real_lanes),
-            )
-        else:
-            packed, counts, unconverged = fsm_decode(
-                nibbles, _table_bf16(fsm), _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
-            )
+        decode_fn, table_full = select_fsm_decoder(fsm)
+        packed, counts, unconverged = decode_fn(
+            nibbles, table_full, _table_sync_bf16(fsm), jnp.int32(n_real_lanes)
+        )
     if bool(unconverged):
         # Pathologically periodic streams can defeat chunk self-sync; the
         # exact serial host decoder is the always-correct fallback.

@@ -28,7 +28,7 @@ from .huffman import CodeTable
 
 NIBBLE_BITS = 4
 NIBBLE_FANOUT = 1 << NIBBLE_BITS  # 16
-N_STATES = 256  # >= max internal nodes (255) -- MXU-aligned
+N_STATES = 256  # hard cap: a 256-leaf tree has <= 255 internal nodes
 COLS_PER_NIBBLE = 6  # next_state, count, sym0..sym3
 
 
@@ -36,15 +36,22 @@ COLS_PER_NIBBLE = 6  # next_state, count, sym0..sym3
 class DecodeFsm:
     """table[s, v] = [next_state, count, s0, s1, s2, s3] (float32, values <= 255).
 
-    ``table`` is laid out [N_STATES, NIBBLE_FANOUT * COLS_PER_NIBBLE] so a
-    single matmul row-selects a state's entire transition row; the nibble's
-    6-column block is then selected with a second (tiny) one-hot multiply.
+    ``table`` is laid out [S, NIBBLE_FANOUT * COLS_PER_NIBBLE] so a single
+    matmul row-selects a state's entire transition row; the nibble's 6-column
+    block is then selected with a second (tiny) one-hot multiply. S is the
+    state width: 128 when the tree has <= 128 internal nodes (the common
+    case for text — halves the dominant one-hot + contraction cost on
+    device), else 256.
     """
 
-    table: np.ndarray  # float32[256, 16*6]
+    table: np.ndarray  # float32[S, 16*6], S in {128, 256}
     n_states: int  # actual internal node count (root = state 0)
     max_len: int
     min_len: int
+
+    @property
+    def width(self) -> int:
+        return self.table.shape[0]
 
 
 def _build_trie(table: CodeTable) -> tuple[np.ndarray, np.ndarray]:
@@ -80,8 +87,9 @@ def build_decode_fsm(table: CodeTable) -> DecodeFsm:
     n_int = children.shape[0]
     if n_int > N_STATES:
         raise ValueError(f"{n_int} internal nodes exceed {N_STATES} FSM states")
+    width = 128 if n_int <= 128 else N_STATES
 
-    out = np.zeros((N_STATES, NIBBLE_FANOUT, COLS_PER_NIBBLE), dtype=np.float32)
+    out = np.zeros((width, NIBBLE_FANOUT, COLS_PER_NIBBLE), dtype=np.float32)
     for s in range(n_int):
         for v in range(NIBBLE_FANOUT):
             node, count, syms = s, 0, [0, 0, 0, 0]
@@ -100,7 +108,7 @@ def build_decode_fsm(table: CodeTable) -> DecodeFsm:
             out[s, v] = [node, count, *syms]
 
     return DecodeFsm(
-        table=out.reshape(N_STATES, NIBBLE_FANOUT * COLS_PER_NIBBLE),
+        table=out.reshape(width, NIBBLE_FANOUT * COLS_PER_NIBBLE),
         n_states=n_int,
         max_len=table.max_len,
         min_len=table.min_len,
@@ -112,7 +120,7 @@ def fsm_decode_host(fsm: DecodeFsm, nibbles: np.ndarray, state: int = 0):
 
     Mirrors exactly what the device scan computes; used by tests.
     """
-    t = fsm.table.reshape(N_STATES, NIBBLE_FANOUT, COLS_PER_NIBBLE)
+    t = fsm.table.reshape(fsm.width, NIBBLE_FANOUT, COLS_PER_NIBBLE)
     out = []
     for v in np.asarray(nibbles, dtype=np.int64):
         row = t[state, v]

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..format.etformat import parse_header
-from ..format.fsm import COLS_PER_NIBBLE, N_STATES, NIBBLE_FANOUT, DecodeFsm, build_decode_fsm
+from ..format.fsm import COLS_PER_NIBBLE, NIBBLE_FANOUT, DecodeFsm, build_decode_fsm
 from ..format.huffman import CodeTable
 
 U32 = jnp.uint32
@@ -82,7 +82,8 @@ def words_to_nibbles(words: jax.Array, lanes: int, k: int) -> jax.Array:
 def _fsm_step(table_2d, n_cols: int, state, nibble):
     """One FSM transition for every lane. table_2d: bf16[256, 16*n_cols]."""
     lanes = state.shape[0]
-    oh = (state[:, None] == jnp.arange(N_STATES, dtype=jnp.int32)[None, :]).astype(
+    n_states = table_2d.shape[0]  # 128 or 256 (format/fsm.py width)
+    oh = (state[:, None] == jnp.arange(n_states, dtype=jnp.int32)[None, :]).astype(
         jnp.bfloat16
     )
     row = jnp.dot(oh, table_2d, preferred_element_type=jnp.float32)
@@ -246,8 +247,8 @@ def _table_bf16(fsm: DecodeFsm):
 
 
 def _table_sync_bf16(fsm: DecodeFsm):
-    t = fsm.table.reshape(N_STATES, NIBBLE_FANOUT, COLS_PER_NIBBLE)[:, :, :1]
-    return jnp.asarray(t.reshape(N_STATES, NIBBLE_FANOUT), dtype=jnp.bfloat16)
+    t = fsm.table.reshape(fsm.width, NIBBLE_FANOUT, COLS_PER_NIBBLE)[:, :, :1]
+    return jnp.asarray(t.reshape(fsm.width, NIBBLE_FANOUT), dtype=jnp.bfloat16)
 
 
 def decompress_device(et: bytes, *, chunk_bits: int = DEFAULT_CHUNK_BITS) -> bytes:

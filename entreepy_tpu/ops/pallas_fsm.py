@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..format.fsm import COLS_PER_NIBBLE, N_STATES, NIBBLE_FANOUT, DecodeFsm
+from ..format.fsm import COLS_PER_NIBBLE, NIBBLE_FANOUT, DecodeFsm
 
 LANE_TILE = 512
 K_TILE = 256
@@ -43,15 +43,16 @@ K_TILE = 256
 
 def pallas_table(fsm: DecodeFsm) -> np.ndarray:
     """fsm.table [256, 16*6] (col n*6+c) -> [256, 6*16] (col c*16+n) f32."""
-    t = fsm.table.reshape(N_STATES, NIBBLE_FANOUT, COLS_PER_NIBBLE)
-    return np.ascontiguousarray(t.transpose(0, 2, 1).reshape(N_STATES, -1))
+    t = fsm.table.reshape(fsm.width, NIBBLE_FANOUT, COLS_PER_NIBBLE)
+    return np.ascontiguousarray(t.transpose(0, 2, 1).reshape(fsm.width, -1))
 
 
 def _step(nib_ref, table_ref, state, t, lt, n_cols):
     """One FSM transition for a (1, lt) state row. Returns [n_cols] list of
     (1, lt) f32 value rows."""
     x2 = nib_ref[pl.ds(t, 1), :]  # (1, lt)
-    s_col = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, lt), 0)
+    n_states = table_ref.shape[0]  # 128 or 256 (format/fsm.py width)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (n_states, lt), 0)
     n_col = jax.lax.broadcasted_iota(jnp.int32, (NIBBLE_FANOUT, lt), 0)
     ohT = (state == s_col).astype(jnp.bfloat16)  # (256, lt)
     selT = (x2 == n_col).astype(jnp.float32)  # (16, lt)

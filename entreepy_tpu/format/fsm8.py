@@ -1,0 +1,142 @@
+"""Byte-granularity Huffman decode FSM — one MXU step per compressed byte.
+
+Second-generation decode table (the nibble FSM in fsm.py is the first): the
+state machine consumes a whole byte per transition, so a stream of N
+compressed bytes costs N sequential steps instead of 2N. The reference
+decoder probes a hash map per candidate code length per symbol
+(``decode.zig:166-200``); here the entire per-byte transition is
+
+* state  = current trie node (a 256-leaf tree has <= 255 internal nodes)
+* input  = next 8 stream bits (MSB first)
+* output = (next_state, count, up to 8 emitted symbols)
+
+The TPU kernels only ever need ``next_state``: the transition
+
+    D = T_next @ onehot(byte)           # [S, lanes] <- [S, 256] x [256, lanes]
+
+is *independent of the running state* — the serial dependency flows only
+through a cheap per-lane row select — so the matmuls for many consecutive
+bytes batch/pipeline freely on the MXU. The kernels emit just the per-byte
+state sequence (1 output byte per compressed byte); symbols are then
+reconstructed on host with one vectorized ``syms[state, byte]`` table lookup
+(ops/decode8.py, runtime et_fsm8_expand). Every table value is <= 255, so
+bf16 one-hot matmuls are exact.
+
+Corruption detection (unlike the nibble FSM's silent root-restart): a byte
+transition that walks an unreachable trie edge is marked invalid
+(``counts < 0``); the host expansion raises when such an entry is consumed
+before the symbol count is met, matching the host LUT path's
+"invalid bitstream" error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .fsm import _build_trie
+from .huffman import CodeTable
+
+BYTE_BITS = 8
+BYTE_FANOUT = 1 << BYTE_BITS  # 256
+MAX_SYMS_PER_BYTE = 8  # min code length 1 bit -> <= 8 symbols per byte
+N_STATES = 256
+
+
+@dataclass(frozen=True)
+class ByteFsm:
+    """Byte-transition tables. S (the padded state width) is 128 when the
+    tree has <= 128 internal nodes — the common case for text, halving the
+    one-hot contraction — else 256.
+
+    next_state[s, b]  state after consuming byte ``b`` in state ``s``
+    counts[s, b]      symbols emitted by that transition, or -1 if the walk
+                      crossed an unreachable trie edge (corrupt stream)
+    syms[s, b, :]     the emitted symbols, left-justified
+    """
+
+    next_state: np.ndarray  # uint8[S, 256]
+    counts: np.ndarray  # int8[S, 256], -1 = invalid transition
+    syms: np.ndarray  # uint8[S, 256, 8]
+    n_states: int  # actual internal node count (root = state 0)
+    max_len: int
+    min_len: int
+
+    @property
+    def width(self) -> int:
+        return self.next_state.shape[0]
+
+    def sync_table(self) -> np.ndarray:
+        """float32[S, 256] next-state matrix for one-hot matmuls (values
+        <= 255 -> exact in bf16)."""
+        return self.next_state.astype(np.float32)
+
+
+def build_byte_fsm(table: CodeTable) -> ByteFsm:
+    """Code table -> byte-granularity FSM (vectorized over all 256 inputs:
+    eight simultaneous single-bit trie steps on [S, 256] state arrays)."""
+    children, leaf_sym = _build_trie(table)
+    n_int = children.shape[0]
+    if n_int > N_STATES:
+        raise ValueError(f"{n_int} internal nodes exceed {N_STATES} FSM states")
+    width = 128 if n_int <= 128 else N_STATES
+
+    # Walk all (state, byte) pairs in lockstep, one bit per round.
+    byte_vals = np.arange(BYTE_FANOUT, dtype=np.int32)
+    state0 = np.repeat(np.arange(width, dtype=np.int32), BYTE_FANOUT)  # [S*256]
+    bits = (byte_vals[None, :] >> (BYTE_BITS - 1 - np.arange(BYTE_BITS)[:, None])) & 1
+    bits = np.broadcast_to(bits[:, None, :], (BYTE_BITS, width, BYTE_FANOUT)).reshape(
+        BYTE_BITS, -1
+    )
+
+    node = state0.copy()
+    # States >= n_int are padding rows: mark every transition invalid.
+    invalid = node >= n_int
+    node = np.where(invalid, 0, node)
+    counts = np.zeros(node.shape, dtype=np.int64)
+    syms = np.zeros((node.size, MAX_SYMS_PER_BYTE), dtype=np.uint8)
+
+    for i in range(BYTE_BITS):
+        b = bits[i]
+        ls = leaf_sym[node, b]  # symbol reached, or -1
+        ch = children[node, b]  # internal child, or -1
+        is_leaf = ls >= 0
+        # leaf: emit symbol, restart at root; internal: descend; neither: invalid
+        dead = ~is_leaf & (ch < 0)
+        invalid |= dead
+        take = is_leaf & ~invalid
+        syms[np.arange(node.size), np.minimum(counts, MAX_SYMS_PER_BYTE - 1)] = np.where(
+            take, ls, syms[np.arange(node.size), np.minimum(counts, MAX_SYMS_PER_BYTE - 1)]
+        ).astype(np.uint8)
+        counts = counts + take.astype(np.int64)
+        node = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
+
+    next_state = np.where(invalid, 0, node).astype(np.uint8).reshape(width, BYTE_FANOUT)
+    counts8 = np.where(invalid, -1, counts).astype(np.int8).reshape(width, BYTE_FANOUT)
+    syms8 = syms.reshape(width, BYTE_FANOUT, MAX_SYMS_PER_BYTE)
+
+    return ByteFsm(
+        next_state=next_state,
+        counts=counts8,
+        syms=syms8,
+        n_states=n_int,
+        max_len=table.max_len,
+        min_len=table.min_len,
+    )
+
+
+def fsm8_decode_host(fsm: ByteFsm, data: np.ndarray, state: int = 0):
+    """Reference serial byte-FSM decode -> (symbols list, end state).
+
+    Mirrors exactly what the device kernels + host expansion compute; used by
+    tests. Raises ValueError on an invalid transition.
+    """
+    out = []
+    for b in np.asarray(data, dtype=np.int64):
+        c = int(fsm.counts[state, b])
+        if c < 0:
+            raise ValueError("invalid bitstream: unreachable trie edge")
+        out.extend(int(x) for x in fsm.syms[state, b, :c])
+        state = int(fsm.next_state[state, b])
+    return out, state

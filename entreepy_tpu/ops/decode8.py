@@ -1,0 +1,240 @@
+"""Chunk-parallel Huffman decode, byte-granularity FSM (second generation).
+
+Replaces the nibble FSM scan (ops/decode.py) as the default device decode:
+half the sequential steps, ~10x less device->host traffic, and an exact
+corrupt-stream error. The reference's serial hot loop is
+``decode.zig:143-203`` (~0.44 MB/s); design here:
+
+1. The body splits into fixed-size byte chunks; chunk := one vector lane.
+   Byte columns come from a reshape — no gather/scatter anywhere.
+2. One FSM transition for all lanes is ``onehot(byte) @ T^T`` — a
+   [lanes, 256] x [256, S] bf16 matmul (exact: every value <= 255) plus an
+   S-wide one-hot row select. Crucially the matmul does not depend on the
+   running state (only the row select does), so consecutive bytes' matmuls
+   pipeline on the MXU with no serial stall (see ops/pallas_fsm8.py).
+3. Chunks after the first start mid-codeword with an unknown state. Prefix
+   codes self-synchronize, so entry states are solved to a fixed point — but
+   unlike the first-generation decoder, the initial guess comes from a cheap
+   *suffix* sync pass (the last SYNC_WINDOW bytes of each chunk: the exit
+   state only depends on the recent past once the chunk has locked on), so
+   the typical total cost is ~1.15 passes instead of 3.
+4. The kernels output only the per-byte *state sequence* (uint8 per
+   compressed byte — the nibble decoder shipped 5 bytes per nibble). Symbols
+   are reconstructed host-side with one vectorized ``syms[state, byte]``
+   lookup (C++ runtime et_fsm8_expand, numpy fallback), which also enforces
+   the two decode invariants the first generation lacked on device:
+
+   * no invalid transition is consumed before the symbol count is met
+     ("invalid bitstream", matching the host LUT walk / native.cpp:93), and
+   * the decoded symbols' code lengths sum to the body's exact bit count
+     (+ <8 pad bits) — a truncated-but-plausible stream cannot validate.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..format.etformat import parse_header
+from ..format.fsm8 import ByteFsm, build_byte_fsm
+from ..format.huffman import CodeTable
+
+DEFAULT_CHUNK_BYTES = 512
+SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
+MAX_SYNC_PASSES = 24
+LANE_TILE = 512  # must match pallas_fsm8; lanes are padded to a multiple
+
+
+def _pad_lanes(n: int) -> int:
+    """Round the lane count up to a multiple of LANE_TILE (>= 1 tile) — far
+    less padding waste than power-of-two bucketing at 5+ MB scale."""
+    return max(LANE_TILE, -(-n // LANE_TILE) * LANE_TILE)
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas kernels on real TPUs; the XLA scan path elsewhere (CPU
+    meshes, tests) and under ENTREEPY_NO_PALLAS=1."""
+    if os.environ.get("ENTREEPY_NO_PALLAS"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def bytes_to_cols(padded: np.ndarray, lanes: int, k: int) -> jax.Array:
+    """uint8[lanes*k] -> int32[lanes, k] byte columns (device array)."""
+    return jnp.asarray(padded.reshape(lanes, k).astype(np.int32))
+
+
+def _table_T_bf16(fsm: ByteFsm) -> jax.Array:
+    """bf16[256, S]: T^T so `onehot(byte) @ T^T` selects per-lane next-state
+    rows; also the layout the Pallas kernels contract directly."""
+    return jnp.asarray(fsm.sync_table().T, jnp.bfloat16)
+
+
+def _scan_pass(cols_T, table_T, entries, emit: bool):
+    """One full FSM pass over [K, lanes] byte columns from per-lane entry
+    states. Returns (exits, states [K, lanes] pre-transition or None)."""
+    s_iota = jnp.arange(table_T.shape[1], dtype=jnp.int32)
+
+    def step(state, x):
+        ohB = (x[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]).astype(
+            jnp.bfloat16
+        )
+        rows = jnp.dot(ohB, table_T, preferred_element_type=jnp.float32)  # [lanes, S]
+        sel = (state[:, None] == s_iota[None, :]).astype(jnp.float32)
+        nxt = jnp.sum(rows * sel, axis=1).astype(jnp.int32)
+        return nxt, state if emit else None
+
+    exits, states = jax.lax.scan(step, entries, cols_T)
+    return exits, states
+
+
+@partial(jax.jit, static_argnames=("max_passes",))
+def fsm8_decode(cols, table_T, n_real_lanes, max_passes: int = MAX_SYNC_PASSES):
+    """Decode all chunks -> (states uint8[lanes, K] pre-transition state per
+    byte, unconverged bool).
+
+    cols: int32[lanes, K]; table_T: bf16[256, S]; n_real_lanes: i32 scalar —
+    lanes beyond it are padding, excluded from the fixed-point test.
+    """
+    lanes, k = cols.shape
+    xs = cols.T  # [K, lanes]
+    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+
+    # Entry-state first guess: sync only each chunk's suffix from the root —
+    # the exit state forgets the entry within a few codewords.
+    w = min(SYNC_WINDOW, k)
+    suffix_exits, _ = _scan_pass(xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), False)
+    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+
+    # Full passes to the fixed point (entries[0] = root is forced, so any
+    # fixed point is the exact solution by induction along the chain).
+    def cond(c):
+        entries, prev, _, it = c
+        return jnp.logical_and(
+            it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
+        )
+
+    def body(c):
+        entries, _, _, it = c
+        exits, states = _scan_pass(xs, table_T, entries, True)
+        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+        return new_entries, entries, states, it + 1
+
+    states0 = jnp.zeros((k, lanes), jnp.int32)
+    entries, prev, states, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, states0, jnp.int32(0))
+    )
+    unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+    return states.T.astype(jnp.uint8), unconverged
+
+
+def select_fsm8_decoder():
+    """Decode fn for the current backend: the fused Pallas kernels on real
+    TPUs, the XLA scan elsewhere. Both return (states u8[lanes, K],
+    unconverged bool)."""
+    if _use_pallas():
+        from .pallas_fsm8 import fsm8_decode_pallas
+
+        return fsm8_decode_pallas
+    return fsm8_decode
+
+
+def expand_states(
+    states: np.ndarray,
+    body: np.ndarray,
+    fsm: ByteFsm,
+    n_symbols: int,
+    lengths: np.ndarray,
+) -> np.ndarray:
+    """(per-byte pre-states, body bytes) -> uint8[n_symbols] in stream order.
+
+    Dispatches to the C++ runtime when available, else vectorized numpy.
+    Raises on invalid transitions, early stream end, and on the exact-bit
+    invariant: sum(code lengths of output) must land in the body's final
+    byte (i.e. the stream is neither truncated nor over-long).
+    """
+    from .. import runtime
+
+    n = body.size
+    st = np.ascontiguousarray(states.reshape(-1)[:n], dtype=np.uint8)
+
+    out = runtime.fsm8_expand(st, body, fsm.counts, fsm.syms, n_symbols)
+    if out is None:
+        cnt = fsm.counts[st, body].astype(np.int64)  # [n], -1 invalid
+        cum = np.cumsum(np.maximum(cnt, 0))
+        done = int(np.searchsorted(cum, n_symbols, side="left"))
+        if done >= n or cum[done] < n_symbols:
+            raise ValueError(
+                f"bitstream ended early: decoded {int(cum[-1]) if n else 0} "
+                f"of {n_symbols} symbols"
+            )
+        if (cnt[: done + 1] < 0).any():
+            raise ValueError("invalid bitstream: unreachable trie edge")
+        sy = fsm.syms[st[: done + 1], body[: done + 1]]  # [m, 8]
+        mask = np.arange(8, dtype=np.int64)[None, :] < cnt[: done + 1, None]
+        out = sy[mask][:n_symbols]
+
+    # Exact-bit invariant: the decoded symbols must account for every body
+    # bit except the final byte's zero padding.
+    used_bits = int(lengths[out].astype(np.int64).sum())
+    if not (n - 1) * 8 < used_bits <= n * 8:
+        raise ValueError(
+            f"corrupt bitstream: {n_symbols} symbols span {used_bits} bits, "
+            f"body has {n * 8}"
+        )
+    return out
+
+
+def decode_body_device(
+    body: bytes | np.ndarray,
+    table: CodeTable,
+    n_symbols: int,
+    *,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    fsm: ByteFsm | None = None,
+) -> np.ndarray:
+    """Decode a packed body with ``table`` -> uint8[n_symbols] (host array)."""
+    if n_symbols == 0:
+        return np.zeros(0, dtype=np.uint8)
+    from ..utils.trace import phase
+
+    fsm = fsm or build_byte_fsm(table)
+    buf = (
+        np.frombuffer(body, dtype=np.uint8)
+        if isinstance(body, (bytes, bytearray, memoryview))
+        else np.asarray(body, dtype=np.uint8)
+    )
+
+    n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    # Pallas tiles lanes in LANE_TILE multiples; the XLA scan path takes any
+    # lane count, so it skips the padding (CPU tests stay small).
+    lanes = _pad_lanes(n_real_lanes) if _use_pallas() else n_real_lanes
+    padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
+    padded[: buf.size] = buf
+    with phase("device_fsm8_decode", n_symbols):
+        cols = bytes_to_cols(padded, lanes, chunk_bytes)
+        decode_fn = select_fsm8_decoder()
+        states, unconverged = decode_fn(cols, _table_T_bf16(fsm), jnp.int32(n_real_lanes))
+    if bool(unconverged):
+        # Pathologically periodic streams can defeat chunk self-sync; the
+        # exact serial host decoder is the always-correct fallback.
+        from .. import format as _fmt
+
+        lut = _fmt.build_decode_lut(table)
+        return _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+    with phase("device_fetch_expand", n_symbols):
+        return expand_states(np.asarray(states), buf, fsm, n_symbols, table.lengths)
+
+
+def decompress_device(et: bytes, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> bytes:
+    """Complete .et file -> original bytes, decoded chunk-parallel on device."""
+    hdr = parse_header(et)
+    out = decode_body_device(
+        et[hdr.body_start :], hdr.table, hdr.body_len, chunk_bytes=chunk_bytes
+    )
+    return out.tobytes()

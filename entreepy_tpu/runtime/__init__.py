@@ -27,6 +27,7 @@ _lib: ctypes.CDLL | None = None
 _tried = False
 
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
@@ -69,6 +70,11 @@ def _load() -> ctypes.CDLL | None:
         lib.et_compact_symbols.argtypes = [_u32p, _i32p, _ll, _u8p, _ll]
         lib.et_sum_counts.restype = _ll
         lib.et_sum_counts.argtypes = [_i32p, _ll]
+        try:  # newer entry points: tolerate a stale prebuilt .so
+            lib.et_fsm8_expand.restype = _ll
+            lib.et_fsm8_expand.argtypes = [_u8p, _u8p, _ll, _i8p, _u8p, _u8p, _ll]
+        except AttributeError:
+            pass
         lib.et_assemble_payloads.restype = ctypes.c_int
         lib.et_assemble_payloads.argtypes = [
             _u32p, _u8p, _ll, _ll, _u32p, _i32p, _u32p, _ll, _i64p,
@@ -179,6 +185,28 @@ def compact_symbols(packed: np.ndarray, counts: np.ndarray, n_symbols: int):
     w = lib.et_compact_symbols(packed, counts, packed.size, out, n_symbols)
     if w < n_symbols:
         raise ValueError(f"bitstream ended early: decoded {w} of {n_symbols} symbols")
+    return out[:n_symbols]
+
+
+def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
+    """Byte-FSM state sequence -> uint8[n_symbols], or None if no lib.
+    Raises on invalid transitions / truncated streams (ops/decode8.py adds
+    the exact-bit invariant on top)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_fsm8_expand"):
+        return None
+    st = np.ascontiguousarray(states, dtype=np.uint8)
+    bd = np.ascontiguousarray(body, dtype=np.uint8)
+    ct = np.ascontiguousarray(counts_tbl.reshape(-1), dtype=np.int8)
+    sy = np.ascontiguousarray(syms_tbl.reshape(-1), dtype=np.uint8)
+    out = np.empty(n_symbols + 8, dtype=np.uint8)  # 8B slack: unconditional copies
+    r = lib.et_fsm8_expand(st, bd, st.size, ct, sy, out, n_symbols)
+    if r == -1:
+        raise ValueError("invalid bitstream: unreachable trie edge")
+    if r == -2:
+        raise ValueError(
+            f"bitstream ended early: decoded fewer than {n_symbols} symbols"
+        )
     return out[:n_symbols]
 
 

@@ -120,6 +120,31 @@ long long et_compact_symbols(const uint32_t* packed, const int32_t* counts,
   return w;
 }
 
+// Expand the byte-FSM decoder's state sequence into symbols (ops/decode8.py:
+// the TPU kernels emit one pre-transition state per compressed byte; the
+// symbols come from one table lookup per byte here). counts_tbl: int8[S*256]
+// (-1 = invalid transition), syms_tbl: uint8[S*256*8] left-justified.
+// `out` must have >= 8 bytes of slack past n_symbols (unconditional 8-byte
+// copies). Returns n_symbols, or -1 on an invalid transition consumed before
+// the count was met, -2 if the body ran out first.
+long long et_fsm8_expand(const uint8_t* states, const uint8_t* body,
+                         long long n, const int8_t* counts_tbl,
+                         const uint8_t* syms_tbl, uint8_t* out,
+                         long long n_symbols) {
+  long long w = 0;
+  for (long long i = 0; i < n; ++i) {
+    const uint32_t idx = ((uint32_t)states[i] << 8) | body[i];
+    const int c = counts_tbl[idx];
+    if (c != 0) {
+      if (c < 0) return -1;
+      std::memcpy(out + w, syms_tbl + idx * 8, 8);  // w+c advances, 8B slack
+      w += c;
+      if (w >= n_symbols) return n_symbols;
+    }
+  }
+  return -2;
+}
+
 // Sum counts over the first n_real slots (truncation validation).
 long long et_sum_counts(const int32_t* counts, long long n) {
   long long s = 0;

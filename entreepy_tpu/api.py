@@ -1,21 +1,24 @@
 """Top-level bytes-in/bytes-out API.
 
-Three interchangeable backends produce byte-identical .et output:
+Four interchangeable backends produce byte-identical .et output:
 
-* ``host``   — C++ native runtime (threaded block-parallel pack,
-               self-sync chunk-parallel decode), numpy fallback.
-* ``device`` — TPU kernels (ops/): MXU one-hot-matmul FSM decode and scan
-               bit-pack, single device.
-* ``None``   — auto. Host↔device transfer cost decides: the device kernels
-               decode a 5.2 MB corpus in ~15 ms of TPU time, but a single
-               compress/decompress call must move the input and output over
-               PCIe (or, in this dev environment, a slow tunnel). Auto
-               therefore uses the native host runtime when present and only
-               routes to the TPU above ``ENTREEPY_DEVICE_MIN`` bytes
-               (default: never when the native runtime exists, 64 KiB
-               otherwise). Production pods with local PCIe set e.g.
-               ``ENTREEPY_DEVICE_MIN=8000000``; the sharded multi-chip paths
-               in ``entreepy_tpu.parallel`` are explicit and unaffected.
+* ``host``    — C++ native runtime (threaded block-parallel pack,
+                self-sync chunk-parallel decode), numpy fallback.
+* ``device``  — TPU kernels (ops/): MXU one-hot-matmul byte-FSM decode and
+                bit-pack, single device.
+* ``sharded`` — multi-chip shard_map codec (entreepy_tpu.parallel): blocks/
+                chunks data-parallel over a 1-D device mesh, collectives
+                over ICI/DCN.
+* ``None``    — auto. Host↔device transfer cost decides: the device kernels
+                decode a 5.2 MB corpus in a few ms of TPU time, but a single
+                compress/decompress call must move the input and output over
+                PCIe (or, in this dev environment, a slow tunnel). Auto
+                therefore uses the native host runtime when present and only
+                routes to the TPU above ``ENTREEPY_DEVICE_MIN`` bytes
+                (default: never when the native runtime exists, 64 KiB
+                otherwise) — choosing ``sharded`` when more than one device
+                is visible. Production pods with local PCIe set e.g.
+                ``ENTREEPY_DEVICE_MIN=8000000``.
 """
 
 from __future__ import annotations
@@ -49,9 +52,14 @@ def _device_min() -> int:
 def compress(data: bytes, *, strict: bool = True, backend: str | None = None) -> bytes:
     """Compress ``data`` into a complete .et file (magic, dict, packed body).
 
-    backend: None (auto), "host", or "device".
+    backend: None (auto), "host", "device", or "sharded".
     """
-    if _pick_device(backend, len(data)):
+    choice = _pick_backend(backend, len(data))
+    if choice == "sharded":
+        from .parallel import compress_sharded
+
+        return compress_sharded(data, strict=strict)
+    if choice == "device":
         from .ops.encode import compress_device
 
         return compress_device(data, strict=strict)
@@ -60,8 +68,16 @@ def compress(data: bytes, *, strict: bool = True, backend: str | None = None) ->
 
 def decompress(et: bytes, *, backend: str | None = None) -> bytes:
     """Decompress a complete .et file back to the original bytes."""
-    if _pick_device(backend, len(et)):
-        from .ops.decode import decompress_device
+    choice = _pick_backend(backend, len(et))
+    if choice == "sharded":
+        from .parallel import decompress_sharded
+
+        return decompress_sharded(et)
+    if choice == "device":
+        if os.environ.get("ENTREEPY_FSM") == "nibble":  # gen-1 escape hatch
+            from .ops.decode import decompress_device
+        else:
+            from .ops.decode8 import decompress_device
 
         return decompress_device(et)
     return decompress_host(et)
@@ -106,7 +122,7 @@ def inspect(et: bytes) -> dict:
         if table.lengths[s] > 0
     }
     return {
-        "version": 1,
+        "version": hdr.version,
         "num_symbols": table.num_symbols,
         "original_bytes": hdr.body_len,
         "compressed_bytes": len(et),
@@ -117,11 +133,15 @@ def inspect(et: bytes) -> dict:
     }
 
 
-def _pick_device(backend: str | None, n_bytes: int) -> bool:
-    if backend == "host":
-        return False
-    if backend == "device":
-        return True
+def _pick_backend(backend: str | None, n_bytes: int) -> str:
+    if backend in ("host", "device", "sharded"):
+        return backend
     if backend is not None:
-        raise ValueError(f"unknown backend {backend!r} (want None, 'host', 'device')")
-    return n_bytes >= _device_min()
+        raise ValueError(
+            f"unknown backend {backend!r} (want None, 'host', 'device', 'sharded')"
+        )
+    if n_bytes < _device_min():
+        return "host"
+    import jax
+
+    return "sharded" if jax.device_count() > 1 else "device"

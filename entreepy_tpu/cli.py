@@ -44,7 +44,8 @@ Commands:
 
 Command Options:
     -o, --output    output file (default: [file].et or decoded_[file])
-    --backend       force a codec backend: host | device (default: auto)
+    --backend       force a codec backend: host | device | sharded
+                    (default: auto — sharded when >1 device is visible)
 
 Examples:
     entreepy -d c text.txt -o text.txt.et
@@ -89,8 +90,8 @@ def parse_args(argv: list[str]) -> Options:
             state = "normal"
             continue
         if state == "backend":
-            if arg not in ("host", "device"):
-                raise CliError(f"invalid backend: {arg} (want host or device)")
+            if arg not in ("host", "device", "sharded"):
+                raise CliError(f"invalid backend: {arg} (want host, device or sharded)")
             opts.backend = arg
             state = "normal"
             continue

@@ -47,6 +47,7 @@ class EtHeader:
     num_symbols: int  # distinct symbols in the dictionary
     body_len: int  # ORIGINAL byte count (symbols to decode)
     body_start: int  # byte offset of the packed body within the file
+    version: int = 1  # parsed format version byte
 
 
 def dict_bits(table: CodeTable) -> int:
@@ -134,6 +135,7 @@ def parse_header(data) -> EtHeader:
         num_symbols=num_symbols,
         body_len=body_len,
         body_start=body_start,
+        version=int(buf[3]),
     )
 
 

@@ -1,0 +1,216 @@
+"""Pallas TPU kernels for the byte-granularity FSM decoder (gen 2).
+
+Key property exploited (see ops/decode8.py): the per-byte transition
+``D = onehot(byte) @ T^T`` does not depend on the running state — only the
+cheap per-lane row select does. So the kernel issues U independent matmuls
+per loop iteration (they pipeline on the MXU with no serial stall) and runs
+the serial state chain purely on the VPU between them. Output is one
+pre-transition state per compressed byte, packed 4-per-int32 — the host
+expands states to symbols, so the kernel ships 1 byte per compressed byte
+(the gen-1 nibble kernel shipped 5 bytes per nibble).
+
+Mosaic-friendly formulation (same rules as pallas_fsm.py): everything 2-D
+with lanes on the lane axis, transposed one-hots by broadcast compare,
+``pl.ds`` row slicing, int32 bit patterns (no f32<->u32 casts in-kernel).
+
+Grid layout: (lane_tiles, k_tiles), lane tile outer so the state scratch
+carries across a lane tile's k tiles (TPU grid cells run sequentially per
+core; scratch persists across them).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 512
+K_TILE = 256
+UNROLL = 4  # bytes per loop iteration: 4 pipelined matmuls + 1 packed store
+N_INPUT = 256
+
+
+def _tiles8(lanes: int, k: int) -> tuple[int, int]:
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE, k)
+    if lanes % lt or k % kt or kt % UNROLL:
+        raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
+    return lt, kt
+
+
+def _steps8(x_ref, tbl_ref, state, q, lt):
+    """UNROLL byte transitions from ``state``. The U matmuls are mutually
+    independent (state enters only the row selects), so Mosaic can keep the
+    MXU busy across the serial chain. Returns (pre-states list, new state)."""
+    n_states = tbl_ref.shape[1]
+    b_col = jax.lax.broadcasted_iota(jnp.int32, (N_INPUT, lt), 0)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (n_states, lt), 0)
+    ds = []
+    for u in range(UNROLL):
+        x = x_ref[pl.ds(q * UNROLL + u, 1), :]  # (1, lt)
+        ohB = (x == b_col).astype(jnp.bfloat16)  # (256, lt)
+        ds.append(
+            jax.lax.dot_general(
+                tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, lt): D[s, l] = next state if the lane were in state s
+        )
+    pre = []
+    for u in range(UNROLL):
+        mask = (state == s_col).astype(jnp.float32)  # (S, lt)
+        pre.append(state)
+        state = jnp.sum(ds[u] * mask, axis=0, keepdims=True).astype(jnp.int32)
+    return pre, state
+
+
+def _emit8_kernel(x_ref, tbl_ref, entries_ref, out_ref, exits_ref, state_ref):
+    """One (lane_tile, k_tile) cell: walk kt bytes, pack 4 pre-states per
+    int32 output row. entries/exits are whole-array VMEM refs indexed by the
+    lane-tile id (tiny: lanes*4 B)."""
+    i_l = pl.program_id(0)
+    i_k = pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when(i_k == 0)
+    def _():
+        state_ref[:] = entries_ref[pl.ds(i_l, 1), :]
+
+    kt, lt = x_ref.shape
+
+    def body(q, state):
+        pre, state = _steps8(x_ref, tbl_ref, state, q, lt)
+        out_ref[pl.ds(q, 1), :] = (
+            (pre[0] << 24) | (pre[1] << 16) | (pre[2] << 8) | pre[3]
+        )
+        return state
+
+    state = jax.lax.fori_loop(0, kt // UNROLL, body, state_ref[:])
+    state_ref[:] = state
+
+    @pl.when(i_k == n_k - 1)
+    def _():
+        exits_ref[pl.ds(i_l, 1), :] = state
+
+
+def _sync8_kernel(x_ref, tbl_ref, entries_ref, exits_ref, state_ref):
+    """State-only pass (used on each chunk's suffix window for the entry
+    first guess)."""
+    i_l = pl.program_id(0)
+    i_k = pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when(i_k == 0)
+    def _():
+        state_ref[:] = entries_ref[pl.ds(i_l, 1), :]
+
+    kt, lt = x_ref.shape
+
+    def body(q, state):
+        _, state = _steps8(x_ref, tbl_ref, state, q, lt)
+        return state
+
+    state = jax.lax.fori_loop(0, kt // UNROLL, body, state_ref[:])
+    state_ref[:] = state
+
+    @pl.when(i_k == n_k - 1)
+    def _():
+        exits_ref[pl.ds(i_l, 1), :] = state
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sync_pass_pallas8(xs, table_T, entries, interpret: bool = False):
+    """xs: int32[W, lanes] byte rows; table_T: bf16[256, S]; entries:
+    int32[lanes] -> exits int32[lanes]."""
+    k, lanes = xs.shape
+    lt, kt = _tiles8(lanes, k)
+    grid = (lanes // lt, k // kt)
+    exits = pl.pallas_call(
+        _sync8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table, replicated
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # entries, whole array
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lanes // lt, lt), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, lt), jnp.int32)],
+        interpret=interpret,
+    )(xs, table_T, entries.reshape(lanes // lt, lt))
+    return exits.reshape(lanes)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
+    """Full pass emitting the state sequence. Returns (packed int32
+    [K/4, lanes] — 4 pre-states MSB-first per word, exits int32[lanes])."""
+    k, lanes = xs.shape
+    lt, kt = _tiles8(lanes, k)
+    grid = (lanes // lt, k // kt)
+    packed, exits = pl.pallas_call(
+        _emit8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # entries, whole array
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (kt // UNROLL, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exits, whole array
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k // UNROLL, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((lanes // lt, lt), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, lt), jnp.int32)],
+        interpret=interpret,
+    )(xs, table_T, entries.reshape(lanes // lt, lt))
+    return packed, exits.reshape(lanes)
+
+
+@partial(jax.jit, static_argnames=("max_passes", "interpret"))
+def fsm8_decode_pallas(cols, table_T, n_real_lanes, max_passes: int | None = None,
+                       interpret: bool = False):
+    """Pallas twin of ops.decode8.fsm8_decode: cols int32[lanes, K] ->
+    (states uint8[lanes, K] pre-transition per byte, unconverged bool)."""
+    from .decode8 import MAX_SYNC_PASSES, SYNC_WINDOW
+
+    lanes, k = cols.shape
+    xs = cols.T  # [K, lanes]
+    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+    mp = max_passes or MAX_SYNC_PASSES
+
+    w = min(SYNC_WINDOW, k)
+    suffix_exits = sync_pass_pallas8(
+        xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), interpret=interpret
+    )
+    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+
+    def cond(c):
+        entries, prev, _, it = c
+        return jnp.logical_and(
+            it < mp, jnp.any(jnp.logical_and(entries != prev, real))
+        )
+
+    def body(c):
+        entries, _, _, it = c
+        packed, exits = emit_pass_pallas8(xs, table_T, entries, interpret=interpret)
+        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+        return new_entries, entries, packed, it + 1
+
+    packed0 = jnp.zeros((k // 4, lanes), jnp.int32)
+    entries, prev, packed, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, packed0, jnp.int32(0))
+    )
+    unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+
+    # Unpack 4-per-word -> uint8[lanes, K] (elementwise; no gathers).
+    shifts = jnp.array([24, 16, 8, 0], jnp.int32).reshape(1, 4, 1)
+    states = ((packed[:, None, :] >> shifts) & 0xFF).astype(jnp.uint8)
+    return states.reshape(k, lanes).T, unconverged

@@ -23,6 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_fsm import _tiles
 
 N_SYMS = 256
+UNROLL = 8  # lookup matmuls issued per loop iteration
 
 
 def _pack_kernel(bytes_ref, valid_ref, codetbl_ref, words_ref, emitted_ref,
@@ -40,44 +41,57 @@ def _pack_kernel(bytes_ref, valid_ref, codetbl_ref, words_ref, emitted_ref,
     kt, lt = bytes_ref.shape
     s_col = jax.lax.broadcasted_iota(jnp.int32, (N_SYMS, lt), 0)
     valid_row = valid_ref[pl.ds(i_l, 1), :]  # (1, lt)
+    # The per-byte (code, length) lookup matmuls are independent of the
+    # accumulator chain, so UNROLL of them issue back-to-back per loop
+    # iteration and pipeline on the MXU; only the cheap VPU accumulator
+    # update runs serially between them.
+    u_n = max(d for d in (UNROLL, 4, 2, 1) if kt % d == 0)
 
-    def body(t, carry):
+    def body(q, carry):
+        vals_u = []
+        for u in range(u_n):
+            x2 = bytes_ref[pl.ds(q * u_n + u, 1), :]  # (1, lt)
+            ohT = (x2 == s_col).astype(jnp.bfloat16)  # (256, lt)
+            vals_u.append(
+                jax.lax.dot_general(
+                    codetbl_ref[:], ohT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (5, lt): len, limb0..limb3
+            )
+
         acc_hi, acc_lo, nbits = carry  # (1, lt) int32 each
-        x2 = bytes_ref[pl.ds(t, 1), :]  # (1, lt)
-        ohT = (x2 == s_col).astype(jnp.bfloat16)  # (256, lt)
-        vals = jax.lax.dot_general(
-            codetbl_ref[:], ohT, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (5, lt): len, limb0..limb3
-        live = (i_k * kt + t) < valid_row
-        length = jnp.where(live, vals[0:1, :].astype(jnp.int32), 0)
-        l0 = vals[1:2, :].astype(jnp.int32)
-        l1 = vals[2:3, :].astype(jnp.int32)
-        l2 = vals[3:4, :].astype(jnp.int32)
-        l3 = vals[4:5, :].astype(jnp.int32)
-        code = jnp.where(live, (l0 << 24) | (l1 << 16) | (l2 << 8) | l3, 0)
+        for u in range(u_n):
+            t = q * u_n + u
+            vals = vals_u[u]
+            live = (i_k * kt + t) < valid_row
+            length = jnp.where(live, vals[0:1, :].astype(jnp.int32), 0)
+            l0 = vals[1:2, :].astype(jnp.int32)
+            l1 = vals[2:3, :].astype(jnp.int32)
+            l2 = vals[3:4, :].astype(jnp.int32)
+            l3 = vals[4:5, :].astype(jnp.int32)
+            code = jnp.where(live, (l0 << 24) | (l1 << 16) | (l2 << 8) | l3, 0)
 
-        s = nbits + length  # <= 63
-        fits = s <= 32
-        hi = jnp.where(
-            fits,
-            code << jnp.clip(32 - s, 0, 31),
-            jax.lax.shift_right_logical(code, jnp.clip(s - 32, 0, 31)),
-        )
-        lo = jnp.where(fits, 0, code << jnp.clip(64 - s, 0, 31))
-        acc_hi = acc_hi | hi
-        acc_lo = acc_lo | lo
+            s = nbits + length  # <= 63
+            fits = s <= 32
+            hi = jnp.where(
+                fits,
+                code << jnp.clip(32 - s, 0, 31),
+                jax.lax.shift_right_logical(code, jnp.clip(s - 32, 0, 31)),
+            )
+            lo = jnp.where(fits, 0, code << jnp.clip(64 - s, 0, 31))
+            acc_hi = acc_hi | hi
+            acc_lo = acc_lo | lo
 
-        emit = s >= 32
-        words_ref[pl.ds(t, 1), :] = acc_hi
-        emitted_ref[pl.ds(t, 1), :] = emit.astype(jnp.int32)
-        acc_hi = jnp.where(emit, acc_lo, acc_hi)
-        acc_lo = jnp.where(emit, 0, acc_lo)
-        nbits = jnp.where(emit, s - 32, s)
+            emit = s >= 32
+            words_ref[pl.ds(t, 1), :] = acc_hi
+            emitted_ref[pl.ds(t, 1), :] = emit.astype(jnp.int32)
+            acc_hi = jnp.where(emit, acc_lo, acc_hi)
+            acc_lo = jnp.where(emit, 0, acc_lo)
+            nbits = jnp.where(emit, s - 32, s)
         return acc_hi, acc_lo, nbits
 
     carry = (state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :])
-    acc_hi, acc_lo, nbits = jax.lax.fori_loop(0, kt, body, carry)
+    acc_hi, acc_lo, nbits = jax.lax.fori_loop(0, kt // u_n, body, carry)
     state_ref[0:1, :] = acc_hi
     state_ref[1:2, :] = acc_lo
     state_ref[2:3, :] = nbits

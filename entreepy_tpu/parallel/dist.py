@@ -30,19 +30,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..format.etformat import parse_header, serialize_header
-from ..format.fsm import COLS_PER_NIBBLE, build_decode_fsm
+from ..format.fsm8 import build_byte_fsm
 from ..format.huffman import build_code_table
 from ..ops.bitpack import assemble_payloads, code_table_cols, pack_blocks_scan
-from ..ops.decode import (
-    DEFAULT_CHUNK_BITS,
+from ..ops.decode8 import (
+    DEFAULT_CHUNK_BYTES,
     MAX_SYNC_PASSES,
-    _fsm_step,
-    _table_bf16,
-    _table_sync_bf16,
-    compact_symbols,
-    self_sync_entries,
-    words_to_nibbles,
+    SYNC_WINDOW,
+    _scan_pass,
+    _table_T_bf16,
+    _use_pallas,
+    bytes_to_cols,
+    expand_states,
 )
+from ..ops.pallas_fsm8 import LANE_TILE
 from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
 from .mesh import BLOCK_AXIS, make_mesh
 
@@ -132,53 +133,80 @@ def compress_sharded(
 
 @lru_cache(maxsize=None)
 def _decode_fn(mesh: Mesh, axis: str):
-    """Sharded FSM decode: lanes (chunks) shard over the mesh; each self-sync
-    pass all_gathers the per-chunk exit *states* (one byte per chunk — a few
-    KB over ICI) so the sequential entry chain spans the whole stream."""
+    """Sharded byte-FSM decode (gen 2, see ops/decode8.py): chunk lanes shard
+    over the mesh; entry states first come from a local suffix sync, then
+    full passes iterate to a fixed point with an ``all_gather`` of per-chunk
+    exit states per pass (one int per chunk — a few KB over ICI) so the
+    sequential entry chain spans the whole stream. Each shard emits its
+    per-byte state sequence locally (Pallas on real TPUs, XLA scan on CPU
+    meshes); the host expands states to symbols."""
 
     @partial(jax.jit, static_argnames=("max_passes",))
-    def f(nibbles, table_full, table_sync, n_real_lanes, max_passes=MAX_SYNC_PASSES):
+    def f(cols, table_T, n_real_lanes, max_passes=MAX_SYNC_PASSES):
         n_dev = mesh.devices.size
-        lanes = nibbles.shape[0]
+        lanes = cols.shape[0]
+        k = cols.shape[1]
         lanes_local = lanes // n_dev
 
-        def local(nibbles, table_full, table_sync, n_real_lanes):
-            xs = nibbles.T  # [K, lanes_local]
+        if _use_pallas() and lanes_local % LANE_TILE == 0:
+            from ..ops.pallas_fsm8 import emit_pass_pallas8, sync_pass_pallas8
+
+            def full_pass(xs, entries_local):
+                packed, exits = emit_pass_pallas8(xs, table_T, entries_local)
+                shifts = jnp.array([24, 16, 8, 0], jnp.int32).reshape(1, 4, 1)
+                states = ((packed[:, None, :] >> shifts) & 0xFF).astype(jnp.uint8)
+                return exits, states.reshape(k, lanes_local)
+
+            def suffix_pass(xs_suffix, zeros):
+                return sync_pass_pallas8(xs_suffix, table_T, zeros)
+        else:
+
+            def full_pass(xs, entries_local):
+                exits, states = _scan_pass(xs, table_T, entries_local, True)
+                return exits, states.astype(jnp.uint8)
+
+            def suffix_pass(xs_suffix, zeros):
+                exits, _ = _scan_pass(xs_suffix, table_T, zeros, False)
+                return exits
+
+        def local(cols, table_T_, n_real_lanes):
+            xs = cols.T  # [K, lanes_local]
             my = jax.lax.axis_index(axis) * lanes_local
+            real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes[0]
 
-            def sync_step(state, x):
-                vals = _fsm_step(table_sync, 1, state, x)
-                return vals[:, 0].astype(jnp.int32), None
+            w = min(SYNC_WINDOW, k)
+            sfx_local = suffix_pass(xs[k - w :], jnp.zeros(lanes_local, jnp.int32))
+            sfx = jax.lax.all_gather(sfx_local, axis, tiled=True)
+            entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), sfx[:-1]])
 
-            def sync_pass(entries):
-                mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
-                exits_local, _ = jax.lax.scan(sync_step, mine, xs)
-                exits = jax.lax.all_gather(exits_local, axis, tiled=True)
-                return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-
-            entries, unconverged = self_sync_entries(
-                sync_pass, lanes, n_real_lanes[0], max_passes
-            )
-
-            def emit_step(state, x):
-                vals = _fsm_step(table_full, COLS_PER_NIBBLE, state, x)
-                syms = vals[:, 2:6].astype(jnp.uint32)
-                packed = (
-                    (syms[:, 0] << 24) | (syms[:, 1] << 16) | (syms[:, 2] << 8) | syms[:, 3]
+            def cond(c):
+                entries, prev, _, it = c
+                return jnp.logical_and(
+                    it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
                 )
-                return vals[:, 0].astype(jnp.int32), (packed, vals[:, 1].astype(jnp.int8))
 
-            mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
-            _, (packed, counts) = jax.lax.scan(emit_step, mine, xs)
-            return packed.T, counts.T, unconverged[None]
+            def body(c):
+                entries, _, _, it = c
+                mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
+                exits_local, states = full_pass(xs, mine)
+                exits = jax.lax.all_gather(exits_local, axis, tiled=True)
+                new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+                return new_entries, entries, states, it + 1
+
+            states0 = jnp.zeros((k, lanes_local), jnp.uint8)
+            entries, prev, states, _ = jax.lax.while_loop(
+                cond, body, (entries0, entries0 - 1, states0, jnp.int32(0))
+            )
+            unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+            return states.T, unconverged[None]
 
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(), P(axis)),
+            out_specs=(P(axis), P(axis)),
             check_vma=False,
-        )(nibbles, table_full, table_sync, n_real_lanes)
+        )(cols, table_T, n_real_lanes)
 
     return f
 
@@ -187,8 +215,9 @@ def decompress_sharded(
     et: bytes,
     mesh: Mesh | None = None,
     *,
-    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     axis: str = BLOCK_AXIS,
+    chunk_bits: int | None = None,  # back-compat: bits = 8 * chunk_bytes
 ) -> bytes:
     """.et file -> original bytes, chunk-parallel across the mesh."""
     mesh = mesh or make_mesh()
@@ -196,23 +225,22 @@ def decompress_sharded(
     hdr = parse_header(et)
     if hdr.body_len == 0:
         return b""
-    fsm = build_decode_fsm(hdr.table)
+    if chunk_bits is not None:
+        chunk_bytes = max(1, chunk_bits // 8)
+    fsm = build_byte_fsm(hdr.table)
     buf = np.frombuffer(et, dtype=np.uint8)[hdr.body_start :]
 
-    k = chunk_bits // 4  # nibbles per chunk
-    chunk_bytes = chunk_bits // 8
     n_real_lanes = max(1, -(-buf.size // chunk_bytes))
-    lanes = max(_bucket(n_real_lanes), n_dev)
+    # Lanes must split evenly over devices (and into Pallas lane tiles on
+    # real TPUs); padding lanes hold zeros and are excluded from self-sync.
+    unit = n_dev * (LANE_TILE if _use_pallas() else 1)
+    lanes = max(unit, -(-n_real_lanes // unit) * unit)
     padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
-    words = jnp.asarray(padded.view(">u4").astype(np.uint32))
-    nibbles = words_to_nibbles(words, lanes, k)
+    cols = bytes_to_cols(padded, lanes, chunk_bytes)
 
-    packed, counts, unconverged = _decode_fn(mesh, axis)(
-        nibbles,
-        _table_bf16(fsm),
-        _table_sync_bf16(fsm),
-        jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
+    states, unconverged = _decode_fn(mesh, axis)(
+        cols, _table_T_bf16(fsm), jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32)
     )
     if bool(np.asarray(unconverged).any()):
         # Pathologically periodic streams can defeat chunk self-sync; fall
@@ -221,6 +249,6 @@ def decompress_sharded(
 
         lut = build_decode_lut(hdr.table)
         return unpack_body_host(buf.tobytes(), lut, hdr.body_len).tobytes()
-    return compact_symbols(
-        np.asarray(packed), np.asarray(counts), hdr.body_len, buf.size * 2
+    return expand_states(
+        np.asarray(states), buf, fsm, hdr.body_len, hdr.table.lengths
     ).tobytes()

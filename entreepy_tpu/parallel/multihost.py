@@ -39,16 +39,27 @@ _initialized = False
 def init(**kwargs) -> None:
     """Initialize JAX distributed (idempotent). kwargs pass through to
     ``jax.distributed.initialize`` (coordinator_address, num_processes,
-    process_id) — all auto-detected on TPU pods."""
+    process_id) — all auto-detected on TPU pods.
+
+    Failure semantics: an explicit bring-up (any kwargs) propagates every
+    error. With no kwargs, only the specific "no cluster environment found"
+    auto-detect ValueError is treated as a normal single-process run;
+    anything else (bad coordinator, handshake timeout, double init) raises.
+    """
     global _initialized
     if _initialized or jax.process_count() > 1:
         _initialized = True
         return
+    client = getattr(getattr(jax._src, "distributed", None), "global_state", None)
+    if client is not None and getattr(client, "client", None) is not None:
+        _initialized = True  # someone already brought distributed up
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized environments
-        pass
+    except ValueError as e:
+        if kwargs or "coordinator_address" not in str(e):
+            raise
+        # auto-detect found no cluster environment: single-process run
     _initialized = True
 
 

@@ -15,6 +15,19 @@ def test_backends_byte_identical(macbeth):
     host = et.compress(macbeth, backend="host")
     assert et.compress(macbeth, backend="device") == host
     assert et.decompress(host, backend="device") == macbeth
+    assert et.compress(macbeth, backend="sharded") == host
+    assert et.decompress(host, backend="sharded") == macbeth
+
+
+def test_auto_routes_sharded_on_multidevice(monkeypatch, midsummer):
+    # Auto must reach the multi-chip path when >1 device is visible (the
+    # conftest mesh has 8) and the size threshold is crossed.
+    monkeypatch.setenv("ENTREEPY_DEVICE_MIN", "1024")
+    from entreepy_tpu.api import _pick_backend
+
+    assert _pick_backend(None, 1 << 20) == "sharded"
+    assert _pick_backend(None, 10) == "host"
+    assert et.decompress(et.compress(midsummer)) == midsummer
 
 
 def test_unknown_backend_raises(macbeth):

@@ -138,6 +138,19 @@ def test_cli_backend_flag(tmp_path, macbeth):
         parse_args(["c", "f", "--backend"])
 
 
+def test_cli_sharded_backend_roundtrip(tmp_path, midsummer):
+    # CLI round-trip over the 8-device virtual CPU mesh (VERDICT r1 item 5:
+    # the flagship multi-chip path must be reachable from the product surface)
+    p = tmp_path / "m.txt"
+    p.write_bytes(midsummer)
+    out = tmp_path / "m.et"
+    dec = tmp_path / "m.out"
+    assert main(["c", str(p), "-o", str(out), "--backend", "sharded"]) == 0
+    assert out.read_bytes() == __import__("entreepy_tpu").compress(midsummer, backend="host")
+    assert main(["d", str(out), "-o", str(dec), "--backend", "sharded"]) == 0
+    assert dec.read_bytes() == midsummer
+
+
 def test_cli_missing_file(tmp_path):
     r = run_cli(["c", "nope.txt"], tmp_path)
     assert r.returncode == 1

@@ -1,0 +1,47 @@
+"""Byte-FSM Pallas kernels must match the XLA scan decoder exactly.
+
+Interpreter mode on the virtual CPU backend (tiny shapes). Real-TPU
+compilation is exercised by the bench's device probe (benchmarks/device.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from entreepy_tpu.format import compress_host, parse_header
+from entreepy_tpu.format.fsm8 import build_byte_fsm
+from entreepy_tpu.ops.decode8 import _table_T_bf16, bytes_to_cols, fsm8_decode
+from entreepy_tpu.ops.pallas_fsm8 import fsm8_decode_pallas
+
+
+def _prep(data: bytes, chunk_bytes: int = 32):
+    et = compress_host(data)
+    hdr = parse_header(et)
+    fsm = build_byte_fsm(hdr.table)
+    buf = np.frombuffer(et, np.uint8)[hdr.body_start :]
+    n_real = max(1, -(-buf.size // chunk_bytes))
+    lanes = max(8, 1 << (n_real - 1).bit_length())
+    padded = np.zeros(lanes * chunk_bytes, np.uint8)
+    padded[: buf.size] = buf
+    return bytes_to_cols(padded, lanes, chunk_bytes), fsm, n_real
+
+
+@pytest.mark.parametrize("name", ["tiny_text", "macbeth"])
+def test_pallas8_matches_scan(name, request):
+    cols, fsm, n_real = _prep(request.getfixturevalue(name))
+    tbl = _table_T_bf16(fsm)
+    s1, u1 = fsm8_decode(cols, tbl, jnp.int32(n_real))
+    s2, u2 = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real), interpret=True)
+    assert bool(u1) == bool(u2) is False
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_pallas8_multi_k_tiles(midsummer):
+    # k spanning several k-tiles exercises the state scratch carry.
+    cols, fsm, n_real = _prep(midsummer[:40000], chunk_bytes=512)
+    tbl = _table_T_bf16(fsm)
+    s1, u1 = fsm8_decode(cols, tbl, jnp.int32(n_real))
+    s2, u2 = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real), interpret=True)
+    assert bool(u1) == bool(u2) is False
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""On-chip kernel benchmark: Pallas vs XLA-scan forms of both hot ops.
+"""On-chip kernel benchmark: Pallas vs XLA-scan forms of both hot ops, with
+roofline position (%MXU peak) for each.
 
-Times exclude host<->device transfers (staged H2D, value-dependent readback
-of a scalar) — through this environment's slow TPU tunnel, end-to-end device
-calls are transfer-bound and not representative of pod hardware; kernel
-compute is. Also asserts on-chip bit-equality between the Pallas and XLA
-forms. Run attended (fresh-kernel Mosaic compiles can wedge the device —
-CLAUDE.md): python benchmarks/device.py [--mb 5.2]
+Through this environment's TPU tunnel a single device call carries ~60 ms of
+dispatch+readback latency, so besides whole-call times this reports the
+*marginal* per-iteration time of each kernel — N dependent iterations chained
+inside one jit (loop-carried data dependencies defeat CSE/hoisting), timings
+differenced. That is the pod-representative compute number. Also asserts
+on-chip bit-equality between the Pallas and XLA forms. Run attended
+(fresh-kernel Mosaic compiles can wedge the device — CLAUDE.md):
+
+    timeout 550 python -u benchmarks/device.py [--mb 5.2]
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 ROOT = Path(__file__).parent.parent
@@ -25,15 +30,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import numpy as np  # noqa: E402
 
+V5E_PEAK_MACS = 98.5e12  # 197 TFLOP/s bf16
 
-def best_of(fn, iters=5):
+
+def best_of(fn, iters=4):
     fn()
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    return best
 
 
 def main() -> int:
@@ -45,12 +52,12 @@ def main() -> int:
     import jax.numpy as jnp
 
     from entreepy_tpu.format import build_code_table, compress_host, histogram, parse_header
-    from entreepy_tpu.format.fsm import build_decode_fsm
+    from entreepy_tpu.format.fsm8 import build_byte_fsm
     from entreepy_tpu.ops.bitpack import code_table_cols, pack_blocks_jit
-    from entreepy_tpu.ops.decode import (
-        _table_bf16, _table_sync_bf16, fsm_decode, words_to_nibbles,
+    from entreepy_tpu.ops.decode8 import (
+        _pad_lanes, _table_T_bf16, bytes_to_cols, expand_states, fsm8_decode,
     )
-    from entreepy_tpu.ops.pallas_fsm import fsm_decode_pallas, pallas_table
+    from entreepy_tpu.ops.pallas_fsm8 import emit_pass_pallas8, fsm8_decode_pallas
     from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
     from entreepy_tpu.utils.stitch import split_blocks
 
@@ -61,9 +68,10 @@ def main() -> int:
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
     data = (src * (-(-int(args.mb * 1e6) // len(src))))[: int(args.mb * 1e6)]
     mb = len(data) / 1e6
-    print(f"backend={jax.default_backend()} corpus={len(data)}B", file=sys.stderr)
+    print(f"backend={jax.default_backend()} corpus={len(data)}B", file=sys.stderr, flush=True)
+    results = {"corpus_MB": mb}
 
-    # ---- encode kernels ----
+    # ---------------------------------------------------------- encode ----
     arr = np.frombuffer(data, np.uint8)
     table = build_code_table(histogram(arr))
     blocks, valid = split_blocks(arr, 4096)
@@ -82,12 +90,25 @@ def main() -> int:
             return int(jnp.sum(e.astype(jnp.int32)))
         return run
 
-    results = {}
-    t_scan = best_of(enc(pack_blocks_jit))  # the production XLA form (jitted)
-    t_pal = best_of(enc(pack_blocks_pallas))
-    results["pack_scan_ms"] = round(t_scan, 1)
-    results["pack_pallas_ms"] = round(t_pal, 1)
-    results["pack_pallas_MBps"] = round(mb / t_pal * 1e3, 1)
+    results["pack_scan_call_ms"] = round(best_of(enc(pack_blocks_jit)) * 1e3, 1)
+    results["pack_pallas_call_ms"] = round(best_of(enc(pack_blocks_pallas)) * 1e3, 1)
+
+    # marginal per-iteration pack time: loop-carried barrier ties each
+    # iteration's input to the previous iteration's output
+    @partial(jax.jit, static_argnames=("n",))
+    def pack_n(b_, v_, ct_, n):
+        def body(_, bb):
+            w, e, a, nn = pack_blocks_pallas(bb, v_, ct_)
+            bb2, _ = jax.lax.optimization_barrier((bb, a))
+            return bb2
+        return jax.lax.fori_loop(0, n, body, b_)
+
+    t1 = best_of(lambda: int(jnp.sum(pack_n(b, v, ct, 1)[0, :8].astype(jnp.int32))))
+    t6 = best_of(lambda: int(jnp.sum(pack_n(b, v, ct, 6)[0, :8].astype(jnp.int32))))
+    pack_pass = max((t6 - t1) / 5, 1e-9)
+    results["pack_pallas_pass_ms"] = round(pack_pass * 1e3, 2)
+    results["pack_pallas_pass_MBps"] = round(mb / pack_pass / 1e3 * 1e3, 1)
+    results["pack_mfu_pct"] = round(len(data) * 256 * 5 / pack_pass / V5E_PEAK_MACS * 100, 2)
 
     # on-chip bit-equality of the two forms
     w1, e1, a1, n1 = pack_blocks_jit(b, v, ct)
@@ -98,40 +119,56 @@ def main() -> int:
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
 
-    # ---- decode kernels ----
+    # ---------------------------------------------------------- decode ----
     et = compress_host(data)
     hdr = parse_header(et)
-    fsm = build_decode_fsm(hdr.table)
+    fsm = build_byte_fsm(hdr.table)
     buf = np.frombuffer(et, np.uint8)[hdr.body_start:]
-    n_real = max(1, -(-buf.size // 512))
-    lanes = 1 << max(3, (n_real - 1).bit_length())
-    padded = np.zeros(lanes * 512, np.uint8)
+    chunk = 512
+    n_real = max(1, -(-buf.size // chunk))
+    lanes = _pad_lanes(n_real)
+    padded = np.zeros(lanes * chunk, np.uint8)
     padded[: buf.size] = buf
-    nib = words_to_nibbles(jnp.asarray(padded.view(">u4").astype(np.uint32)), lanes, 1024)
-    int(jnp.sum(nib))
-    tf, ts = _table_bf16(fsm), _table_sync_bf16(fsm)
-    tp = jnp.asarray(pallas_table(fsm), jnp.bfloat16)
+    cols = bytes_to_cols(padded, lanes, chunk)
+    tbl = _table_T_bf16(fsm)
+    int(jnp.sum(cols))
 
-    def dec(fn, t):
+    def dec(fn):
         def run():
-            p, c, u = fn(nib, t, ts, jnp.int32(n_real))
+            s, u = fn(cols, tbl, jnp.int32(n_real))
             assert not bool(u), "chunk self-sync did not converge"
-            return int(jnp.sum(c.astype(jnp.int32)))
+            return int(jnp.sum(s.astype(jnp.int32)))
         return run
 
-    t_scan = best_of(dec(fsm_decode, tf))
-    t_pal = best_of(dec(fsm_decode_pallas, tp))
-    results["decode_scan_ms"] = round(t_scan, 1)
-    results["decode_pallas_ms"] = round(t_pal, 1)
-    results["decode_pallas_MBps"] = round(mb / t_pal * 1e3, 1)
+    results["decode_scan_call_ms"] = round(best_of(dec(fsm8_decode)) * 1e3, 1)
+    results["decode_pallas_call_ms"] = round(best_of(dec(fsm8_decode_pallas)) * 1e3, 1)
 
-    p1, c1, _ = fsm_decode(nib, tf, ts, jnp.int32(n_real))
-    p2, c2, _ = fsm_decode_pallas(nib, tp, ts, jnp.int32(n_real))
-    assert np.array_equal(np.asarray(p1), np.asarray(p2))
-    assert np.array_equal(np.asarray(c1), np.asarray(c2).astype(np.int32))
+    @partial(jax.jit, static_argnames=("n",))
+    def emit_n(xs_, tbl_, entries, n):
+        def body(_, e):
+            _p, exits = emit_pass_pallas8(xs_, tbl_, e)
+            return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+        return jax.lax.fori_loop(0, n, body, entries)
 
-    results["corpus_MB"] = mb
+    xs = cols.T
+    e0 = jnp.zeros(lanes, jnp.int32)
+    t1 = best_of(lambda: int(jnp.sum(emit_n(xs, tbl, e0, 1))))
+    t11 = best_of(lambda: int(jnp.sum(emit_n(xs, tbl, e0, 11))))
+    dec_pass = max((t11 - t1) / 10, 1e-9)
+    macs = buf.size * fsm.width * 256
+    results["decode_pallas_pass_ms"] = round(dec_pass * 1e3, 2)
+    results["decode_pallas_pass_MBps"] = round(mb / dec_pass / 1e3 * 1e3, 1)
+    results["decode_mfu_pct"] = round(macs / dec_pass / V5E_PEAK_MACS * 100, 2)
+    results["decode_hbm_GBps"] = round(buf.size * 5 / dec_pass / 1e9, 1)  # in i32 + out u8
+
+    # bit-equality of the two decode forms, and against the source
+    s1, _ = fsm8_decode(cols, tbl, jnp.int32(n_real))
+    s2, _ = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    out = expand_states(np.asarray(s2), buf, fsm, hdr.body_len, hdr.table.lengths)
+    assert out.tobytes() == data
     results["bit_equal"] = True
+
     print(json.dumps(results))
     return 0
 

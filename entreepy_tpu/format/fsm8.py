@@ -73,9 +73,27 @@ class ByteFsm:
         return self.next_state.astype(np.float32)
 
 
+_FSM_CACHE: dict[bytes, ByteFsm] = {}
+_FSM_CACHE_MAX = 8
+
+
 def build_byte_fsm(table: CodeTable) -> ByteFsm:
-    """Code table -> byte-granularity FSM (vectorized over all 256 inputs:
-    eight simultaneous single-bit trie steps on [S, 256] state arrays)."""
+    """Code table -> byte-granularity FSM, memoized on the table content
+    (the ~10 ms vectorized build would otherwise dominate small decodes)."""
+    key = table.lengths.tobytes() + table.codes.tobytes()
+    hit = _FSM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    fsm = _build_byte_fsm(table)
+    if len(_FSM_CACHE) >= _FSM_CACHE_MAX:
+        _FSM_CACHE.pop(next(iter(_FSM_CACHE)))
+    _FSM_CACHE[key] = fsm
+    return fsm
+
+
+def _build_byte_fsm(table: CodeTable) -> ByteFsm:
+    """Vectorized build: eight simultaneous single-bit trie steps on
+    [S, 256] state arrays."""
     children, leaf_sym = _build_trie(table)
     n_int = children.shape[0]
     if n_int > N_STATES:

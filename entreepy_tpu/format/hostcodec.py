@@ -85,6 +85,48 @@ def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     return unpack_body_np(body, lut, n_symbols)
 
 
+# Below this body size the LUT walk wins (byte-FSM table build ~1-2 ms).
+FSM8_HOST_MIN_BYTES = 1 << 18
+
+
+def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int):
+    """Byte-FSM threaded decode (gen 2 host hot path): one table transition
+    per compressed byte instead of a bit-LUT walk per symbol. Returns
+    uint8[n_symbols] or None when the native runtime is unavailable.
+    Enforces the exact-bit invariant (sum of decoded code lengths must land
+    in the body's final byte) on top of the runtime's own checks."""
+    from .. import runtime
+    from .fsm8 import build_byte_fsm
+
+    if not runtime.available():
+        return None
+    fsm = build_byte_fsm(table)
+    out = runtime.fsm8_decode_parallel(
+        body, fsm.next_state, fsm.counts, fsm.syms, n_symbols
+    )
+    if out is None:
+        return None
+    n = len(body)
+    used_bits = _used_bits(out, table.lengths)
+    if not (n - 1) * 8 < used_bits <= n * 8:
+        raise ValueError(
+            f"corrupt bitstream: {n_symbols} symbols span {used_bits} bits, "
+            f"body has {n * 8}"
+        )
+    return out
+
+
+def _used_bits(out: np.ndarray, lengths: np.ndarray) -> int:
+    """Sum of code lengths over ``out`` via a histogram (the threaded native
+    one when available — numpy bincount alone costs ~25 ms at 5 MB here)."""
+    from .. import runtime
+
+    hist = runtime.histogram(out)
+    if hist is None:
+        hist = np.bincount(out, minlength=256).astype(np.int64)
+    return int((hist * lengths.astype(np.int64)).sum())
+
+
 def unpack_body_np(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     """Pure-Python serial LUT walk — the independent correctness anchor."""
     buf = np.frombuffer(body, dtype=np.uint8)
@@ -133,7 +175,13 @@ def decompress_host(et: bytes) -> bytes:
 
     with phase("parse_header"):
         hdr = parse_header(et)
-        lut = build_decode_lut(hdr.table)
+    body = et[hdr.body_start :]
+    if len(body) >= FSM8_HOST_MIN_BYTES:
+        with phase("unpack_body_fsm8", hdr.body_len):
+            out = unpack_body_fsm8(body, hdr.table, hdr.body_len)
+        if out is not None:
+            return out.tobytes()
     with phase("unpack_body", hdr.body_len):
-        out = unpack_body_host(et[hdr.body_start :], lut, hdr.body_len)
+        lut = build_decode_lut(hdr.table)
+        out = unpack_body_host(body, lut, hdr.body_len)
     return out.tobytes()

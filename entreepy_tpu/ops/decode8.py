@@ -181,7 +181,9 @@ def expand_states(
 
     # Exact-bit invariant: the decoded symbols must account for every body
     # bit except the final byte's zero padding.
-    used_bits = int(lengths[out].astype(np.int64).sum())
+    from ..format.hostcodec import _used_bits
+
+    used_bits = _used_bits(out, lengths)
     if not (n - 1) * 8 < used_bits <= n * 8:
         raise ValueError(
             f"corrupt bitstream: {n_symbols} symbols span {used_bits} bits, "

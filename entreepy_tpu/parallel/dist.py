@@ -54,6 +54,19 @@ def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _fetch(x) -> np.ndarray:
+    """Device -> host for arrays that may span multiple processes: every
+    process needs the full value for the host-side stitch/expansion, so
+    multi-host runs all_gather the shards over DCN first (tiny relative to
+    the payloads: this is the only cross-host data movement besides the
+    histogram psum and per-pass exit states)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 @lru_cache(maxsize=None)
 def _hist_fn(mesh: Mesh, axis: str):
     def local(blocks, valid):
@@ -125,7 +138,7 @@ def compress_sharded(
 
     words, emitted, acc, nbits = _pack_fn(mesh, axis)(blocks, valid, codetbl)
     payload, bit_lens = assemble_payloads(
-        np.asarray(words), np.asarray(emitted), np.asarray(acc), np.asarray(nbits)
+        _fetch(words), _fetch(emitted), _fetch(acc), _fetch(nbits)
     )
     words_out, total_bits = stitch_payload(payload, bit_lens)
     return serialize_header(table, arr.size) + words_to_bytes(words_out, total_bits)
@@ -242,7 +255,7 @@ def decompress_sharded(
     states, unconverged = _decode_fn(mesh, axis)(
         cols, _table_T_bf16(fsm), jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32)
     )
-    if bool(np.asarray(unconverged).any()):
+    if bool(_fetch(unconverged).any()):
         # Pathologically periodic streams can defeat chunk self-sync; fall
         # back to the exact serial host decoder.
         from ..format import build_decode_lut, unpack_body_host
@@ -250,5 +263,5 @@ def decompress_sharded(
         lut = build_decode_lut(hdr.table)
         return unpack_body_host(buf.tobytes(), lut, hdr.body_len).tobytes()
     return expand_states(
-        np.asarray(states), buf, fsm, hdr.body_len, hdr.table.lengths
+        _fetch(states), buf, fsm, hdr.body_len, hdr.table.lengths
     ).tobytes()

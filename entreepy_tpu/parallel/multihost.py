@@ -47,11 +47,13 @@ def init(**kwargs) -> None:
     anything else (bad coordinator, handshake timeout, double init) raises.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
-    client = getattr(getattr(jax._src, "distributed", None), "global_state", None)
-    if client is not None and getattr(client, "client", None) is not None:
+    # NB: no jax.process_count()/jax.devices() before initialize — those
+    # calls initialize the XLA backend and make distributed bring-up
+    # impossible. global_state is safe to inspect.
+    state = getattr(getattr(jax._src, "distributed", None), "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         _initialized = True  # someone already brought distributed up
         return
     try:
@@ -60,6 +62,10 @@ def init(**kwargs) -> None:
         if kwargs or "coordinator_address" not in str(e):
             raise
         # auto-detect found no cluster environment: single-process run
+    except RuntimeError:
+        if kwargs:
+            raise
+        # backend already initialized in this (single-)process session
     _initialized = True
 
 

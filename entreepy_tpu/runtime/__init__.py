@@ -54,11 +54,15 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("ENTREEPY_NO_NATIVE"):
             return None
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # ENTREEPY_NATIVE_LIB: load a prebuilt library as-is (used by
+        # tools/sanitize.sh to inject TSAN/ASAN builds).
+        override = os.environ.get("ENTREEPY_NATIVE_LIB")
+        so = Path(override) if override else _SO
+        if not override and (not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime):
             if not _build():
                 return None
         try:
-            lib = ctypes.CDLL(str(_SO))
+            lib = ctypes.CDLL(str(so))
         except OSError:
             return None
 
@@ -73,6 +77,10 @@ def _load() -> ctypes.CDLL | None:
         try:  # newer entry points: tolerate a stale prebuilt .so
             lib.et_fsm8_expand.restype = _ll
             lib.et_fsm8_expand.argtypes = [_u8p, _u8p, _ll, _i8p, _u8p, _u8p, _ll]
+            lib.et_fsm8_decode_parallel.restype = _ll
+            lib.et_fsm8_decode_parallel.argtypes = [
+                _u8p, _ll, _u8p, _i8p, _u8p, _ll, _u8p, _ll, ctypes.c_int,
+            ]
         except AttributeError:
             pass
         lib.et_assemble_payloads.restype = ctypes.c_int
@@ -201,6 +209,34 @@ def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
     sy = np.ascontiguousarray(syms_tbl.reshape(-1), dtype=np.uint8)
     out = np.empty(n_symbols + 8, dtype=np.uint8)  # 8B slack: unconditional copies
     r = lib.et_fsm8_expand(st, bd, st.size, ct, sy, out, n_symbols)
+    if r == -1:
+        raise ValueError("invalid bitstream: unreachable trie edge")
+    if r == -2:
+        raise ValueError(
+            f"bitstream ended early: decoded fewer than {n_symbols} symbols"
+        )
+    return out[:n_symbols]
+
+
+FSM8_CHUNK_BYTES = 1 << 16
+
+
+def fsm8_decode_parallel(body, next_tbl, counts_tbl, syms_tbl, n_symbols: int):
+    """Packed body -> uint8[n_symbols] via the threaded byte-FSM chunk
+    decoder (the host twin of the TPU gen-2 path), or None if no lib.
+    Raises on invalid transitions / truncated streams; callers add the
+    exact-bit invariant (hostcodec.unpack_body_fsm8)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_fsm8_decode_parallel"):
+        return None
+    bd = np.ascontiguousarray(np.frombuffer(body, dtype=np.uint8))
+    nx = np.ascontiguousarray(next_tbl.reshape(-1), dtype=np.uint8)
+    ct = np.ascontiguousarray(counts_tbl.reshape(-1), dtype=np.int8)
+    sy = np.ascontiguousarray(syms_tbl.reshape(-1), dtype=np.uint8)
+    out = np.empty(n_symbols + 8, dtype=np.uint8)  # 8B slack: unconditional copies
+    r = lib.et_fsm8_decode_parallel(
+        bd, bd.size, nx, ct, sy, FSM8_CHUNK_BYTES, out, n_symbols, 0
+    )
     if r == -1:
         raise ValueError("invalid bitstream: unreachable trie edge")
     if r == -2:

@@ -564,4 +564,207 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
   return n_symbols;
 }
 
+// Byte-FSM chunk-parallel decode (gen 2) — the host twin of the TPU byte-FSM
+// decoder (ops/decode8.py): one table transition per compressed byte instead
+// of a bit-LUT walk per symbol. Chunks decode speculatively in parallel from
+// a root entry guess, recording the pre-state of their first SYNCB bytes; a
+// serial confirmation walks each chunk from its true entry until the state
+// matches the recorded one (prefix codes self-synchronize within a few
+// bytes), then the speculative output is exact. Tables: next_tbl u8[S*256],
+// counts_tbl i8[S*256] (-1 = invalid transition), syms_tbl u8[S*256*8].
+// out must have >= 8 bytes of slack past n_symbols. Returns n_symbols, or
+// -1 (corrupt: invalid transition on the true path), -2 (truncated).
+long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
+                                  const uint8_t* next_tbl,
+                                  const int8_t* counts_tbl,
+                                  const uint8_t* syms_tbl, long long chunk_bytes,
+                                  uint8_t* out, long long n_symbols,
+                                  int nthreads) {
+  if (n_symbols <= 0) return 0;
+  if (n <= 0) return -2;
+  const long long nc = (n + chunk_bytes - 1) / chunk_bytes;
+  const int k = et_nthreads(nthreads);
+  constexpr int SYNCB = 160;  // pre-states recorded per chunk
+
+  struct Chunk {
+    uint8_t states[SYNCB];    // pre-state of byte j in the guess walk
+    uint16_t syms_at[SYNCB];  // symbols emitted before byte j (guess walk)
+    uint8_t gap[SYNCB * 8];   // true symbols between entry and the sync byte
+    long long count = 0;      // symbols in the guess walk
+    long long emit = 0;       // true symbol count
+    long long ngap = 0;
+    long long from_sym = 0;   // scratch symbol index where sync begins
+    long long first_bad = -1; // first guess-walk byte with invalid transition
+    uint8_t entry = 0, exit = 0;
+    int nrec = 0;
+    bool rewalk = false;      // scratch overflow / no sync: emit re-walks
+    bool bad_true = false;    // invalid transition on a serially-walked path
+  };
+  std::vector<Chunk> ch((size_t)nc);
+
+  // 2 symbols of scratch per compressed byte plus copy slack; the guess walk
+  // stops storing (and flags a re-walk) when the next 8-byte copy would not
+  // fit, so run-heavy streams degrade to counting, never overflow.
+  const long long cap = chunk_bytes * 2 + 8;
+  std::unique_ptr<uint8_t[]> scratch(new uint8_t[(size_t)(nc * cap)]);
+
+  // --- pass 1: parallel speculative walk from state 0 at each chunk -------
+  et_parallel_for(nc, k, [&](long long i) {
+    Chunk& c = ch[(size_t)i];
+    const long long lo = i * chunk_bytes;
+    const long long hi = (lo + chunk_bytes < n) ? lo + chunk_bytes : n;
+    uint8_t* const s = scratch.get() + i * cap;
+    uint32_t state = 0;
+    long long w = 0;
+    long long first_bad = -1;
+    int nrec = 0;
+    bool rewalk = false;
+    for (long long j = lo; j < hi; ++j) {
+      if (nrec < SYNCB) {
+        c.states[nrec] = (uint8_t)state;
+        c.syms_at[nrec] = (uint16_t)(w < 65535 ? w : 65535);
+        ++nrec;
+      }
+      const uint32_t idx = (state << 8) | body[j];
+      const int cnt = counts_tbl[idx];
+      if (cnt > 0) {
+        if (w + 8 <= cap) {
+          std::memcpy(s + w, syms_tbl + (size_t)idx * 8, 8);
+        } else {
+          rewalk = true;  // scratch out of room: count only
+        }
+        w += cnt;
+      } else if (cnt < 0 && first_bad < 0) {
+        first_bad = j - lo;
+      }
+      state = next_tbl[idx];
+    }
+    c.count = w;
+    c.exit = (uint8_t)state;
+    c.first_bad = first_bad;
+    c.nrec = nrec;
+    c.rewalk = rewalk;
+  });
+
+  // --- serial confirmation: walk from the true entry until the state
+  // matches the recorded guess-walk state at the same byte ------------------
+  uint8_t entry = 0;
+  for (long long i = 0; i < nc; ++i) {
+    Chunk& c = ch[(size_t)i];
+    const long long lo = i * chunk_bytes;
+    const long long hi = (lo + chunk_bytes < n) ? lo + chunk_bytes : n;
+    c.entry = entry;
+    uint32_t state = entry;
+    long long j = 0;
+    long long sync = -1;
+    long long ng = 0;
+    for (; j < hi - lo && j < c.nrec; ++j) {
+      if ((uint8_t)state == c.states[j]) {
+        sync = j;
+        break;
+      }
+      const uint32_t idx = (state << 8) | body[lo + j];
+      const int cnt = counts_tbl[idx];
+      if (cnt > 0) {
+        std::memcpy(c.gap + ng, syms_tbl + (size_t)idx * 8, 8);
+        ng += cnt;
+      } else if (cnt < 0) {
+        c.bad_true = true;
+      }
+      state = next_tbl[idx];
+    }
+    c.ngap = ng;
+    if (sync >= 0 && !c.rewalk) {
+      c.from_sym = c.syms_at[sync];
+      c.emit = ng + (c.count - c.from_sym);
+      // invalid transitions on/after the sync byte are on the true path
+      if (c.first_bad >= sync) c.bad_true = true;
+      entry = c.exit;
+    } else if (sync >= 0) {
+      // synced but scratch overflowed: count is exact, emit re-walks
+      c.emit = ng + (c.count - c.syms_at[sync]);
+      if (c.first_bad >= sync) c.bad_true = true;
+      c.from_sym = sync;  // reused as the sync BYTE for the re-walk
+      entry = c.exit;
+    } else {
+      // no sync within the recorded window (pathological): finish serially
+      long long cnt2 = ng;
+      for (; j < hi - lo; ++j) {
+        const uint32_t idx = (state << 8) | body[lo + j];
+        const int cnt = counts_tbl[idx];
+        if (cnt > 0) cnt2 += cnt;
+        else if (cnt < 0) c.bad_true = true;
+        state = next_tbl[idx];
+      }
+      c.emit = cnt2;
+      c.ngap = 0;
+      c.rewalk = true;
+      c.from_sym = -1;  // re-walk from the chunk start
+      entry = (uint8_t)state;
+      c.exit = entry;
+    }
+  }
+
+  // --- offsets + parallel emit -------------------------------------------
+  std::vector<long long> off((size_t)nc + 1);
+  off[0] = 0;
+  bool bad = false;
+  for (long long i = 0; i < nc; ++i) {
+    off[(size_t)i + 1] = off[(size_t)i] + ch[(size_t)i].emit;
+    // only corruption consumed before the n_symbols cutoff counts
+    if (ch[(size_t)i].bad_true && off[(size_t)i] < n_symbols) bad = true;
+  }
+  if (bad) return -1;
+  if (off[(size_t)nc] < n_symbols) return -2;
+
+  et_parallel_for(nc, k, [&](long long i) {
+    const long long start = off[(size_t)i];
+    if (start >= n_symbols) return;
+    const Chunk& c = ch[(size_t)i];
+    long long cnt = c.emit;
+    if (start + cnt > n_symbols) cnt = n_symbols - start;
+    if (cnt <= 0) return;
+    if (!c.rewalk) {
+      const long long g = c.ngap < cnt ? c.ngap : cnt;
+      std::memcpy(out + start, c.gap, (size_t)g);
+      if (cnt > g)
+        std::memcpy(out + start + g, scratch.get() + i * cap + c.from_sym,
+                    (size_t)(cnt - g));
+      return;
+    }
+    // serial re-walk: emit straight from the tables. If the chunk synced
+    // (from_sym >= 0 is the sync byte), the gap prefix is already exact.
+    const long long lo = i * chunk_bytes;
+    const long long hi = (lo + chunk_bytes < n) ? lo + chunk_bytes : n;
+    long long w = 0;
+    long long j = lo;
+    uint32_t state;
+    if (c.from_sym >= 0) {
+      const long long g = c.ngap < cnt ? c.ngap : cnt;
+      std::memcpy(out + start, c.gap, (size_t)g);
+      w = c.ngap;
+      j = lo + c.from_sym;
+      state = c.states[c.from_sym];
+    } else {
+      state = c.entry;
+    }
+    for (; j < hi && w < cnt; ++j) {
+      const uint32_t idx = (state << 8) | body[j];
+      const int cc = counts_tbl[idx];
+      if (cc > 0) {
+        const uint8_t* sy = syms_tbl + (size_t)idx * 8;
+        if (w + 8 <= cnt) {
+          // fast path: 8-byte copy stays inside this chunk's output region
+          std::memcpy(out + start + w, sy, 8);
+        } else {
+          for (int t = 0; t < cc && w + t < cnt; ++t) out[start + w + t] = sy[t];
+        }
+        w += cc;
+      }
+      state = next_tbl[idx];
+    }
+  });
+  return n_symbols;
+}
+
 }  // extern "C"

@@ -9,11 +9,6 @@ result against the single-host reference bytes.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
-
 
 def main() -> int:
     coordinator, n_procs, pid, path = (
@@ -22,6 +17,14 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     import jax
+
+    # Re-point at CPU via config (this environment's sitecustomize force-
+    # selects the axon TPU platform through jax config, which beats env
+    # vars), and pick gloo: without it each process builds a local-only CPU
+    # client and process_count stays 1.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     import entreepy_tpu.parallel.multihost as mh
 

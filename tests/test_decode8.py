@@ -130,6 +130,43 @@ def test_corrupt_body_matches_host_behavior(midsummer):
     assert detections >= 1  # the invariant does fire on real flips
 
 
+def test_host_fsm8_path(midsummer):
+    """The native byte-FSM host decoder (decompress_host's large-body hot
+    path) must be byte-identical to the LUT walk and carry the same
+    corruption/truncation errors."""
+    from entreepy_tpu import runtime
+    from entreepy_tpu.format.hostcodec import unpack_body_fsm8
+
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    et = compress_host(midsummer)
+    hdr = parse_header(et)
+    body = et[hdr.body_start :]
+    out = unpack_body_fsm8(body, hdr.table, hdr.body_len)
+    assert out is not None and out.tobytes() == midsummer
+    with pytest.raises(ValueError, match="ended early"):
+        unpack_body_fsm8(body[:40], hdr.table, hdr.body_len)
+    # flipped byte: must raise or match the serial walk, like the device path
+    lut = build_decode_lut(hdr.table)
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        pos = int(rng.integers(5, len(body) - 16))
+        bad = body[:pos] + bytes([body[pos] ^ 0xFF]) + body[pos + 1 :]
+        try:
+            ref = unpack_body_host(bad, lut, hdr.body_len).tobytes()
+        except ValueError:
+            ref = None
+        try:
+            got = unpack_body_fsm8(bad, hdr.table, hdr.body_len)
+            got = got.tobytes() if got is not None else None
+        except ValueError:
+            got = None
+        if ref is None:
+            assert got is None
+        elif got is not None:
+            assert got == ref
+
+
 def test_expand_states_numpy_vs_native(macbeth):
     from entreepy_tpu import runtime
 

@@ -60,5 +60,8 @@ def test_init_propagates_explicit_errors():
 
     if mh._initialized:
         pytest.skip("distributed already initialized in this process")
-    with pytest.raises((ValueError, TypeError)):
+    # In a fresh process this is a TypeError/ValueError from argument
+    # validation; if another test already initialized the XLA backend it is
+    # jax's RuntimeError — either way it must propagate, not be swallowed.
+    with pytest.raises((ValueError, TypeError, RuntimeError)):
         mh.init(coordinator_address="localhost:1", num_processes=-3, process_id=0)

@@ -49,38 +49,55 @@ def _device_min() -> int:
     return DEVICE_MIN_BYTES
 
 
-def compress(data: bytes, *, strict: bool = True, backend: str | None = None) -> bytes:
+def compress(data: bytes, *, strict: bool = True, backend: str | None = None,
+             progress=None) -> bytes:
     """Compress ``data`` into a complete .et file (magic, dict, packed body).
 
     backend: None (auto), "host", "device", or "sharded".
+    progress: optional ``(pct, msg)`` callback ticked at measured phase
+    completions (host backend; other backends tick coarse boundaries).
     """
     choice = _pick_backend(backend, len(data))
+    tick = progress or (lambda pct, msg: None)
     if choice == "sharded":
         from .parallel import compress_sharded
 
-        return compress_sharded(data, strict=strict)
+        tick(20, "Counting characters...")
+        out = compress_sharded(data, strict=strict)
+        tick(90, "Writing compressed text...")
+        return out
     if choice == "device":
         from .ops.encode import compress_device
 
-        return compress_device(data, strict=strict)
-    return compress_host(data, strict=strict)
+        tick(20, "Counting characters...")
+        out = compress_device(data, strict=strict)
+        tick(90, "Writing compressed text...")
+        return out
+    return compress_host(data, strict=strict, progress=progress)
 
 
-def decompress(et: bytes, *, backend: str | None = None) -> bytes:
+def decompress(et: bytes, *, backend: str | None = None, progress=None) -> bytes:
     """Decompress a complete .et file back to the original bytes."""
     choice = _pick_backend(backend, len(et))
+    tick = progress or (lambda pct, msg: None)
     if choice == "sharded":
         from .parallel import decompress_sharded
 
-        return decompress_sharded(et)
+        tick(20, "Decoding text...")
+        out = decompress_sharded(et)
+        tick(90, "Writing decoded text...")
+        return out
     if choice == "device":
         if os.environ.get("ENTREEPY_FSM") == "nibble":  # gen-1 escape hatch
             from .ops.decode import decompress_device
         else:
             from .ops.decode8 import decompress_device
 
-        return decompress_device(et)
-    return decompress_host(et)
+        tick(20, "Decoding text...")
+        out = decompress_device(et)
+        tick(90, "Writing decoded text...")
+        return out
+    return decompress_host(et, progress=progress)
 
 
 def compress_file(src, dst=None, **kwargs) -> str:

@@ -187,14 +187,12 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter_ns()
     try:
+        # the codec ticks the bar at measured phase completions
         if encode:
-            bar.update(20, "Counting characters...")
-            out = api.compress(data, backend=opts.backend)
-            bar.update(90, "Writing compressed text...")
+            out = api.compress(data, backend=opts.backend, progress=bar.update)
         else:
-            bar.update(20, "Decoding text...")
-            out = api.decompress(data, backend=opts.backend)
-            bar.update(90, "Writing decoded text...")
+            out = api.decompress(data, backend=opts.backend, progress=bar.update)
+        bar.update(95, "Writing compressed text..." if encode else "Writing decoded text...")
     except (FormatError, DegenerateInputError, ValueError) as e:
         bar.finish("Failed.")
         print(f"error: {e}", file=sys.stderr)

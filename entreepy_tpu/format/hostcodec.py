@@ -89,7 +89,7 @@ def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
 FSM8_HOST_MIN_BYTES = 1 << 18
 
 
-def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int):
+def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int, progress=None):
     """Byte-FSM threaded decode (gen 2 host hot path): one table transition
     per compressed byte instead of a bit-LUT walk per symbol. Returns
     uint8[n_symbols] or None when the native runtime is unavailable.
@@ -100,12 +100,15 @@ def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int):
 
     if not runtime.available():
         return None
+    tick = progress or (lambda pct, msg: None)
     fsm = build_byte_fsm(table)
+    tick(30, "Decoding text...")
     out = runtime.fsm8_decode_parallel(
         body, fsm.next_state, fsm.counts, fsm.syms, n_symbols
     )
     if out is None:
         return None
+    tick(75, "Decoding text...")
     n = len(body)
     used_bits = _used_bits(out, table.lengths)
     if not (n - 1) * 8 < used_bits <= n * 8:
@@ -155,33 +158,55 @@ def unpack_body_np(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     return out
 
 
-def compress_host(data: bytes, *, strict: bool = True) -> bytes:
-    """bytes → complete .et file, byte-identical to the reference's output."""
+def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
+    """bytes → complete .et file, byte-identical to the reference's output.
+
+    ``progress(pct, msg)`` (optional) is called at *measured* completion
+    points: the histogram runs in 10 slices (the reference's 10 encode
+    sections, ``encode.zig:303-315``, measured here instead of staged), then
+    tree build, body pack, and serialization tick as they actually finish.
+    """
     from ..utils.trace import phase
 
+    tick = progress or (lambda pct, msg: None)
     arr = np.frombuffer(data, dtype=np.uint8)
     with phase("histogram", arr.size):
-        counts = histogram(arr)
+        if progress is not None and arr.size >= 10:
+            counts = np.zeros(256, dtype=np.int64)
+            bounds = np.linspace(0, arr.size, 11, dtype=np.int64)
+            for i in range(10):
+                counts += histogram(arr[bounds[i] : bounds[i + 1]])
+                tick(5 + 3 * (i + 1), "Counting characters...")
+        else:
+            counts = histogram(arr)
     with phase("code_table"):
         table = build_code_table(counts, strict=strict)
+    tick(40, "Building tree...")
     with phase("pack_body", arr.size):
         body, _ = pack_body_host(arr, table)
+    tick(90, "Writing compressed text...")
     return serialize_header(table, arr.size) + body
 
 
-def decompress_host(et: bytes) -> bytes:
-    """complete .et file → original bytes (validates magic/version)."""
+def decompress_host(et: bytes, *, progress=None) -> bytes:
+    """complete .et file → original bytes (validates magic/version).
+    ``progress(pct, msg)`` ticks at measured phase completions."""
     from ..utils.trace import phase
 
+    tick = progress or (lambda pct, msg: None)
     with phase("parse_header"):
         hdr = parse_header(et)
+    tick(15, "Decoding text...")
     body = et[hdr.body_start :]
     if len(body) >= FSM8_HOST_MIN_BYTES:
         with phase("unpack_body_fsm8", hdr.body_len):
-            out = unpack_body_fsm8(body, hdr.table, hdr.body_len)
+            out = unpack_body_fsm8(body, hdr.table, hdr.body_len, progress=tick)
         if out is not None:
+            tick(90, "Writing decoded text...")
             return out.tobytes()
     with phase("unpack_body", hdr.body_len):
         lut = build_decode_lut(hdr.table)
+        tick(25, "Decoding text...")
         out = unpack_body_host(body, lut, hdr.body_len)
+    tick(90, "Writing decoded text...")
     return out.tobytes()

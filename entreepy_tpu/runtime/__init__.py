@@ -21,10 +21,31 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "native.cpp"
-_SO = _HERE / "_native.so"
+_SO = _HERE / "_native.so"  # legacy/manual in-tree build (dev checkouts)
+_EXT = _HERE / "_native_ext.so"  # portable binary bundled by wheel builds (setup.py)
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
+
+
+def _cache_so() -> Path:
+    """Per-user cache path for the lazily-built library, keyed by a hash of
+    the source + CPU model (the build uses -march=native, so a library built
+    on one machine must not be picked up on another via a shared home)."""
+    import hashlib
+
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "Processor")):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    key = hashlib.sha256(_SRC.read_bytes() + cpu.encode()).hexdigest()[:16]
+    root = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+    return root / "entreepy_tpu" / f"native-{key}.so"
 
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
@@ -34,14 +55,18 @@ _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _ll = ctypes.c_longlong
 
 
-def _build() -> bool:
+def _build(dst: Path) -> bool:
+    try:
+        dst.parent.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return False
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        "-o", str(_SO), str(_SRC),
+        "-o", str(dst), str(_SRC),
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0 and _SO.exists()
+        return r.returncode == 0 and dst.exists()
     except (OSError, subprocess.TimeoutExpired):
         return False
 
@@ -54,12 +79,25 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("ENTREEPY_NO_NATIVE"):
             return None
-        # ENTREEPY_NATIVE_LIB: load a prebuilt library as-is (used by
-        # tools/sanitize.sh to inject TSAN/ASAN builds).
+        # Resolution order:
+        # 1. ENTREEPY_NATIVE_LIB — load a prebuilt library as-is (used by
+        #    tools/sanitize.sh to inject TSAN/ASAN builds).
+        # 2. fresh in-tree _native.so — manual dev builds.
+        # 3. _native_ext.so — the portable binary shipped inside wheels
+        #    (setup.py; works with no compiler on the machine).
+        # 4. per-user cache (~/.cache/entreepy_tpu), built lazily with
+        #    -march=native and keyed by source+CPU hash — safe across
+        #    machines sharing a home, works for read-only installs.
         override = os.environ.get("ENTREEPY_NATIVE_LIB")
-        so = Path(override) if override else _SO
-        if not override and (not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime):
-            if not _build():
+        if override:
+            so = Path(override)
+        elif _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+            so = _SO
+        elif _EXT.exists():
+            so = _EXT
+        else:
+            so = _cache_so()
+            if not so.exists() and not _build(so):
                 return None
         try:
             lib = ctypes.CDLL(str(so))

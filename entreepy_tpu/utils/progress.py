@@ -40,6 +40,7 @@ class ProgressBar:
         self.enabled = isatty if enabled is None else enabled
         self._progress = 0
         self._msg = "Working..."
+        self._step = 0
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 
@@ -54,6 +55,10 @@ class ProgressBar:
         self._progress = min(int(progress), 100)
         if msg is not None:
             self._msg = msg
+        # Render a frame synchronously too: measured phase ticks faster than
+        # the 10 ms poll still produce a visible frame each.
+        if self._thread is not None:
+            self._render(self._step)
 
     def finish(self, msg: str | None = None):
         self.update(100, msg)
@@ -83,11 +88,10 @@ class ProgressBar:
         self.stream.flush()
 
     def _run(self):
-        step = 0
         while True:
-            self._render(step)
+            self._render(self._step)
             if self._progress >= 100 or self._stop.is_set():
-                self._render(step)
+                self._render(self._step)
                 return
-            step += 1
+            self._step += 1
             time.sleep(0.01)

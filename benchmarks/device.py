@@ -94,18 +94,21 @@ def main() -> int:
     results["pack_pallas_call_ms"] = round(best_of(enc(pack_blocks_pallas)) * 1e3, 1)
 
     # marginal per-iteration pack time: loop-carried barrier ties each
-    # iteration's input to the previous iteration's output
+    # iteration's input to the previous output, and the accumulator consumes
+    # every iteration's result so nothing is hoisted or dead-code-eliminated
     @partial(jax.jit, static_argnames=("n",))
     def pack_n(b_, v_, ct_, n):
-        def body(_, bb):
+        def body(_, carry):
+            bb, acc = carry
             w, e, a, nn = pack_blocks_pallas(bb, v_, ct_)
-            bb2, _ = jax.lax.optimization_barrier((bb, a))
-            return bb2
-        return jax.lax.fori_loop(0, n, body, b_)
+            bb2, a2 = jax.lax.optimization_barrier((bb, a))
+            return bb2, acc + jnp.sum(a2 & 1)
+        _, acc = jax.lax.fori_loop(0, n, body, (b_, jnp.int32(0)))
+        return acc
 
-    t1 = best_of(lambda: int(jnp.sum(pack_n(b, v, ct, 1)[0, :8].astype(jnp.int32))))
-    t6 = best_of(lambda: int(jnp.sum(pack_n(b, v, ct, 6)[0, :8].astype(jnp.int32))))
-    pack_pass = max((t6 - t1) / 5, 1e-9)
+    t1 = best_of(lambda: int(pack_n(b, v, ct, 1)))
+    t41 = best_of(lambda: int(pack_n(b, v, ct, 41)))
+    pack_pass = max((t41 - t1) / 40, 1e-9)
     results["pack_pallas_pass_ms"] = round(pack_pass * 1e3, 2)
     results["pack_pallas_pass_MBps"] = round(mb / pack_pass / 1e3 * 1e3, 1)
     results["pack_mfu_pct"] = round(len(data) * 256 * 5 / pack_pass / V5E_PEAK_MACS * 100, 2)

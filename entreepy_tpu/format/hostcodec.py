@@ -103,31 +103,27 @@ def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int, progress=Non
     tick = progress or (lambda pct, msg: None)
     fsm = build_byte_fsm(table)
     tick(30, "Decoding text...")
-    out = runtime.fsm8_decode_parallel(
+    res = runtime.fsm8_decode_parallel(
         body, fsm.next_state, fsm.counts, fsm.syms, n_symbols
     )
-    if out is None:
+    if res is None:
         return None
+    out, end_byte = res
     tick(75, "Decoding text...")
-    n = len(body)
-    used_bits = _used_bits(out, table.lengths)
-    if not (n - 1) * 8 < used_bits <= n * 8:
-        raise ValueError(
-            f"corrupt bitstream: {n_symbols} symbols span {used_bits} bits, "
-            f"body has {n * 8}"
-        )
+    _check_end_byte(end_byte, len(body), n_symbols)
     return out
 
 
-def _used_bits(out: np.ndarray, lengths: np.ndarray) -> int:
-    """Sum of code lengths over ``out`` via a histogram (the threaded native
-    one when available — numpy bincount alone costs ~25 ms at 5 MB here)."""
-    from .. import runtime
-
-    hist = runtime.histogram(out)
-    if hist is None:
-        hist = np.bincount(out, minlength=256).astype(np.int64)
-    return int((hist * lengths.astype(np.int64)).sum())
+def _check_end_byte(end_byte: int, n_body: int, n_symbols: int) -> None:
+    """Exact-bit invariant: the n_symbols-th symbol must complete in the
+    body's final byte (equivalently: the decoded code lengths sum into
+    ``((n-1)*8, n*8]`` bits — anything else is a truncated-but-plausible or
+    over-long stream)."""
+    if end_byte != n_body - 1:
+        raise ValueError(
+            f"corrupt bitstream: {n_symbols} symbols end in body byte "
+            f"{end_byte} of {n_body}"
+        )
 
 
 def unpack_body_np(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:

@@ -159,12 +159,15 @@ def expand_states(
     byte (i.e. the stream is neither truncated nor over-long).
     """
     from .. import runtime
+    from ..format.hostcodec import _check_end_byte
 
     n = body.size
     st = np.ascontiguousarray(states.reshape(-1)[:n], dtype=np.uint8)
 
-    out = runtime.fsm8_expand(st, body, fsm.counts, fsm.syms, n_symbols)
-    if out is None:
+    res = runtime.fsm8_expand(st, body, fsm.counts, fsm.syms, n_symbols)
+    if res is not None:
+        out, end_byte = res
+    else:
         cnt = fsm.counts[st, body].astype(np.int64)  # [n], -1 invalid
         cum = np.cumsum(np.maximum(cnt, 0))
         done = int(np.searchsorted(cum, n_symbols, side="left"))
@@ -178,17 +181,12 @@ def expand_states(
         sy = fsm.syms[st[: done + 1], body[: done + 1]]  # [m, 8]
         mask = np.arange(8, dtype=np.int64)[None, :] < cnt[: done + 1, None]
         out = sy[mask][:n_symbols]
+        end_byte = done
 
-    # Exact-bit invariant: the decoded symbols must account for every body
-    # bit except the final byte's zero padding.
-    from ..format.hostcodec import _used_bits
-
-    used_bits = _used_bits(out, lengths)
-    if not (n - 1) * 8 < used_bits <= n * 8:
-        raise ValueError(
-            f"corrupt bitstream: {n_symbols} symbols span {used_bits} bits, "
-            f"body has {n * 8}"
-        )
+    # Exact-bit invariant: the n_symbols-th symbol must complete in the
+    # final body byte (= the code lengths account for every bit except the
+    # final byte's zero padding).
+    _check_end_byte(end_byte, n, n_symbols)
     return out
 
 

@@ -235,9 +235,10 @@ def compact_symbols(packed: np.ndarray, counts: np.ndarray, n_symbols: int):
 
 
 def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
-    """Byte-FSM state sequence -> uint8[n_symbols], or None if no lib.
-    Raises on invalid transitions / truncated streams (ops/decode8.py adds
-    the exact-bit invariant on top)."""
+    """Byte-FSM state sequence -> (uint8[n_symbols], end_byte) or None if no
+    lib. ``end_byte`` is the 0-based body byte where the n_symbols-th symbol
+    completed (callers enforce end_byte == len(body)-1 — the exact-bit
+    invariant). Raises on invalid transitions / truncated streams."""
     lib = _load()
     if lib is None or not hasattr(lib, "et_fsm8_expand"):
         return None
@@ -253,17 +254,18 @@ def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
         raise ValueError(
             f"bitstream ended early: decoded fewer than {n_symbols} symbols"
         )
-    return out[:n_symbols]
+    return out[:n_symbols], int(r)
 
 
 FSM8_CHUNK_BYTES = 1 << 16
 
 
 def fsm8_decode_parallel(body, next_tbl, counts_tbl, syms_tbl, n_symbols: int):
-    """Packed body -> uint8[n_symbols] via the threaded byte-FSM chunk
-    decoder (the host twin of the TPU gen-2 path), or None if no lib.
-    Raises on invalid transitions / truncated streams; callers add the
-    exact-bit invariant (hostcodec.unpack_body_fsm8)."""
+    """Packed body -> (uint8[n_symbols], end_byte) via the threaded byte-FSM
+    chunk decoder (the host twin of the TPU gen-2 path), or None if no lib.
+    ``end_byte`` is where the n_symbols-th symbol completed (callers enforce
+    end_byte == len(body)-1 — the exact-bit invariant). Raises on invalid
+    transitions / truncated streams."""
     lib = _load()
     if lib is None or not hasattr(lib, "et_fsm8_decode_parallel"):
         return None
@@ -281,7 +283,7 @@ def fsm8_decode_parallel(body, next_tbl, counts_tbl, syms_tbl, n_symbols: int):
         raise ValueError(
             f"bitstream ended early: decoded fewer than {n_symbols} symbols"
         )
-    return out[:n_symbols]
+    return out[:n_symbols], int(r)
 
 
 def sum_counts(counts: np.ndarray) -> int | None:

@@ -125,8 +125,10 @@ long long et_compact_symbols(const uint32_t* packed, const int32_t* counts,
 // symbols come from one table lookup per byte here). counts_tbl: int8[S*256]
 // (-1 = invalid transition), syms_tbl: uint8[S*256*8] left-justified.
 // `out` must have >= 8 bytes of slack past n_symbols (unconditional 8-byte
-// copies). Returns n_symbols, or -1 on an invalid transition consumed before
-// the count was met, -2 if the body ran out first.
+// copies). Returns the 0-based byte index at which the n_symbols-th symbol
+// completed (the caller's exact-bit invariant: it must be the last body
+// byte), or -1 on an invalid transition consumed before the count was met,
+// -2 if the body ran out first.
 long long et_fsm8_expand(const uint8_t* states, const uint8_t* body,
                          long long n, const int8_t* counts_tbl,
                          const uint8_t* syms_tbl, uint8_t* out,
@@ -139,7 +141,7 @@ long long et_fsm8_expand(const uint8_t* states, const uint8_t* body,
       if (c < 0) return -1;
       std::memcpy(out + w, syms_tbl + idx * 8, 8);  // w+c advances, 8B slack
       w += c;
-      if (w >= n_symbols) return n_symbols;
+      if (w >= n_symbols) return i;
     }
   }
   return -2;
@@ -572,8 +574,10 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
 // matches the recorded one (prefix codes self-synchronize within a few
 // bytes), then the speculative output is exact. Tables: next_tbl u8[S*256],
 // counts_tbl i8[S*256] (-1 = invalid transition), syms_tbl u8[S*256*8].
-// out must have >= 8 bytes of slack past n_symbols. Returns n_symbols, or
-// -1 (corrupt: invalid transition on the true path), -2 (truncated).
+// out must have >= 8 bytes of slack past n_symbols. Returns the 0-based
+// byte index at which the n_symbols-th symbol completed (the caller checks
+// it is the final body byte — the exact-bit invariant), or -1 (corrupt:
+// invalid transition consumed before the count was met), -2 (truncated).
 long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
                                   const uint8_t* next_tbl,
                                   const int8_t* counts_tbl,
@@ -705,17 +709,41 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
     }
   }
 
-  // --- offsets + parallel emit -------------------------------------------
+  // --- offsets + exact cutoff --------------------------------------------
   std::vector<long long> off((size_t)nc + 1);
   off[0] = 0;
-  bool bad = false;
-  for (long long i = 0; i < nc; ++i) {
+  for (long long i = 0; i < nc; ++i)
     off[(size_t)i + 1] = off[(size_t)i] + ch[(size_t)i].emit;
-    // only corruption consumed before the n_symbols cutoff counts
-    if (ch[(size_t)i].bad_true && off[(size_t)i] < n_symbols) bad = true;
+  if (off[(size_t)nc] < n_symbols) return -2;
+
+  // The chunk containing the n_symbols-th symbol: corruption consumed fully
+  // is only what lies in chunks before it, plus — found by one exact table
+  // walk of that chunk — anything up to the byte where the count is met.
+  long long icut = 0;
+  while (off[(size_t)icut + 1] < n_symbols) ++icut;
+  bool bad = false;
+  for (long long i = 0; i < icut; ++i)
+    if (ch[(size_t)i].bad_true) bad = true;
+  long long end_byte = -1;
+  {
+    const long long lo = icut * chunk_bytes;
+    const long long hi = (lo + chunk_bytes < n) ? lo + chunk_bytes : n;
+    uint32_t state = ch[(size_t)icut].entry;
+    long long w = off[(size_t)icut];
+    for (long long j = lo; j < hi; ++j) {
+      const uint32_t idx = (state << 8) | body[j];
+      const int cnt = counts_tbl[idx];
+      if (cnt < 0) bad = true;
+      else w += cnt;
+      if (w >= n_symbols) {
+        end_byte = j;
+        break;
+      }
+      state = next_tbl[idx];
+    }
   }
   if (bad) return -1;
-  if (off[(size_t)nc] < n_symbols) return -2;
+  if (end_byte < 0) return -2;  // unreachable: off[icut+1] >= n_symbols
 
   et_parallel_for(nc, k, [&](long long i) {
     const long long start = off[(size_t)i];
@@ -764,7 +792,7 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
       state = next_tbl[idx];
     }
   });
-  return n_symbols;
+  return end_byte;
 }
 
 }  // extern "C"

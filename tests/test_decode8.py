@@ -184,5 +184,8 @@ def test_expand_states_numpy_vs_native(macbeth):
     out = expand_states(states, buf, fsm, arr.size, table.lengths)
     assert out.tobytes() == macbeth
     if runtime.available():
-        native = runtime.fsm8_expand(states, buf, fsm.counts, fsm.syms, arr.size)
-        assert native is not None and native.tobytes() == macbeth
+        res = runtime.fsm8_expand(states, buf, fsm.counts, fsm.syms, arr.size)
+        assert res is not None
+        native, end_byte = res
+        assert native.tobytes() == macbeth
+        assert end_byte == buf.size - 1  # last symbol completes in last byte

@@ -50,8 +50,8 @@ for name, data in corpora.items():
     assert out is not None and out.tobytes() == data, name
     # byte-FSM path explicitly (threaded, incl. overflow re-walks on runheavy)
     fsm = build_byte_fsm(hdr.table)
-    out2 = runtime.fsm8_decode_parallel(body, fsm.next_state, fsm.counts, fsm.syms, arr.size)
-    assert out2 is not None and out2.tobytes() == data, name
+    res = runtime.fsm8_decode_parallel(body, fsm.next_state, fsm.counts, fsm.syms, arr.size)
+    assert res is not None and res[0].tobytes() == data, name
     # error paths: truncated + corrupt
     try:
         runtime.fsm8_decode_parallel(body[:50], fsm.next_state, fsm.counts, fsm.syms, arr.size)

@@ -19,13 +19,16 @@ from .huffman import CodeTable, build_code_table, histogram
 from .lut import DecodeLut, build_decode_lut, lut_lookup_host
 
 
-def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
+def pack_body_host(
+    data: np.ndarray, table: CodeTable, counts: np.ndarray | None = None
+) -> tuple[bytes, int]:
     """Bit-pack ``data`` (uint8[n]) with ``table`` → (body bytes, total bits).
 
     Dispatches to the C++ runtime when available, else the pure-numpy
     reference (:func:`pack_body_np`). Both are bit-identical; the numpy path
     is the independent correctness anchor the native/device paths are tested
-    against.
+    against. ``counts`` (a byte histogram of ``data``, if the caller already
+    has one) lets the native path skip its sizing histogram pass.
     """
     data = np.asarray(data, dtype=np.uint8)
     if data.size == 0:
@@ -33,7 +36,12 @@ def pack_body_host(data: np.ndarray, table: CodeTable) -> tuple[bytes, int]:
 
     from .. import runtime
 
-    native = runtime.pack_body(data, table.codes, table.lengths)
+    exact_bits = None
+    if counts is not None:
+        exact_bits = int(
+            (np.asarray(counts, np.int64) * table.lengths.astype(np.int64)).sum()
+        )
+    native = runtime.pack_body(data, table.codes, table.lengths, exact_bits)
     if native is not None:
         return native
     return pack_body_np(data, table)
@@ -164,8 +172,32 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
     """
     from ..utils.trace import phase
 
+    from .. import runtime
+
     tick = progress or (lambda pct, msg: None)
     arr = np.frombuffer(data, dtype=np.uint8)
+
+    # Fast path: ONE data pass computes per-block histograms; their sum is
+    # the global histogram, their dot with the code lengths gives both the
+    # exact output size and each block's bit offset — so the threaded pack
+    # needs no sizing pass of its own.
+    counts_blocks = None
+    if arr.size >= runtime.PARALLEL_MIN_BYTES and progress is None:
+        with phase("histogram", arr.size):
+            counts_blocks = runtime.histogram_blocks(arr)
+    if counts_blocks is not None:
+        counts = counts_blocks.sum(axis=0)
+        with phase("code_table"):
+            table = build_code_table(counts, strict=strict)
+        with phase("pack_body", arr.size):
+            block_bits = counts_blocks @ table.lengths.astype(np.int64)
+            packed = runtime.pack_body_sized(
+                arr, table.codes, table.lengths, block_bits
+            )
+            if packed is None:  # stale lib without the sized entry point
+                packed = pack_body_host(arr, table, counts=counts)
+        return serialize_header(table, arr.size) + packed[0]
+
     with phase("histogram", arr.size):
         if progress is not None and arr.size >= 10:
             counts = np.zeros(256, dtype=np.int64)
@@ -179,7 +211,7 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
         table = build_code_table(counts, strict=strict)
     tick(40, "Building tree...")
     with phase("pack_body", arr.size):
-        body, _ = pack_body_host(arr, table)
+        body, _ = pack_body_host(arr, table, counts=counts)
     tick(90, "Writing compressed text...")
     return serialize_header(table, arr.size) + body
 

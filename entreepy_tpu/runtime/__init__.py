@@ -119,6 +119,12 @@ def _load() -> ctypes.CDLL | None:
             lib.et_fsm8_decode_parallel.argtypes = [
                 _u8p, _ll, _u8p, _i8p, _u8p, _ll, _u8p, _ll, ctypes.c_int,
             ]
+            lib.et_histogram_blocks.restype = None
+            lib.et_histogram_blocks.argtypes = [_u8p, _ll, _ll, _i64p, ctypes.c_int]
+            lib.et_pack_parallel_sized.restype = _ll
+            lib.et_pack_parallel_sized.argtypes = [
+                _u8p, _ll, _u32p, _u8p, _ll, _i64p, _u8p, ctypes.c_int,
+            ]
         except AttributeError:
             pass
         lib.et_assemble_payloads.restype = ctypes.c_int
@@ -160,11 +166,14 @@ PACK_BLOCK_BYTES = 1 << 16
 DECODE_CHUNK_BITS = 1 << 15
 
 
-def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
+def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
+              exact_bits: int | None = None):
     """uint8[n] + code table -> (body bytes, total_bits) or None if no lib.
 
     Large inputs pack block-parallel across host threads straight into the
-    final stream (shared boundary bytes OR-ed atomically)."""
+    final stream (shared boundary bytes OR-ed atomically). ``exact_bits``
+    (the known output size, = sum over symbols of count*len) skips a whole
+    histogram pass when the caller already holds the counts."""
     lib = _load()
     if lib is None:
         return None
@@ -172,11 +181,12 @@ def pack_body(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray):
     codes_c = np.ascontiguousarray(codes, dtype=np.uint32)
     lens_c = np.ascontiguousarray(lengths, dtype=np.uint8)
     if data.size >= PARALLEL_MIN_BYTES:
-        # exact output size from the (threaded) histogram — worst-case sizing
-        # (max_len * n bits) would over-allocate ~4x on large inputs
-        counts = np.zeros(256, dtype=np.int64)
-        lib.et_histogram(data, data.size, counts, 0)
-        exact_bits = int((counts * lengths.astype(np.int64)).sum())
+        if exact_bits is None:
+            # exact output size from the (threaded) histogram — worst-case
+            # sizing (max_len * n bits) would over-allocate ~4x
+            counts = np.zeros(256, dtype=np.int64)
+            lib.et_histogram(data, data.size, counts, 0)
+            exact_bits = int((counts * lengths.astype(np.int64)).sum())
         out = np.zeros(exact_bits // 8 + 2, dtype=np.uint8)  # pre-zeroed: OR-packing
         total = lib.et_pack_parallel(
             data, data.size, codes_c, lens_c, PACK_BLOCK_BYTES, out, 0
@@ -258,6 +268,42 @@ def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
 
 
 FSM8_CHUNK_BYTES = 1 << 16
+
+
+def histogram_blocks(data: np.ndarray, block_bytes: int = PACK_BLOCK_BYTES):
+    """Per-block 256-bin histograms -> int64[n_blocks, 256], or None. One
+    pass yields the global histogram (sum), the exact packed size, AND the
+    per-block bit lengths for :func:`pack_body_sized`."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_histogram_blocks"):
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    nb = max(1, -(-data.size // block_bytes))
+    out = np.empty((nb, 256), dtype=np.int64)
+    lib.et_histogram_blocks(data, data.size, block_bytes, out.reshape(-1), 0)
+    return out
+
+
+def pack_body_sized(data, codes, lengths, block_bits: np.ndarray,
+                    block_bytes: int = PACK_BLOCK_BYTES):
+    """Threaded pack with precomputed per-block bit lengths (no sizing pass).
+    -> (body bytes, total_bits) or None. The caller guarantees every present
+    symbol has a code (check the histogram against lengths)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_pack_parallel_sized"):
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    bits = np.ascontiguousarray(block_bits, dtype=np.int64)
+    total = int(bits.sum())
+    out = np.zeros(total // 8 + 2, dtype=np.uint8)  # pre-zeroed: OR-packing
+    r = lib.et_pack_parallel_sized(
+        data, data.size,
+        np.ascontiguousarray(codes, dtype=np.uint32),
+        np.ascontiguousarray(lengths, dtype=np.uint8),
+        block_bytes, bits, out, 0,
+    )
+    assert r == total, (r, total)
+    return out[: (total + 7) // 8].tobytes(), total
 
 
 def fsm8_decode_parallel(body, next_tbl, counts_tbl, syms_tbl, n_symbols: int):

@@ -275,32 +275,45 @@ void et_histogram(const uint8_t* data, long long n, long long* out256,
     for (int s = 0; s < 256; ++s) out256[s] += part[(size_t)t][(size_t)s];
 }
 
-// Threaded block-parallel pack straight into the final (pre-zeroed) stream:
-// pass 1 sizes every block, a prefix sum places it, pass 2 packs blocks
-// concurrently, OR-ing the shared boundary bytes atomically.
-long long et_pack_parallel(const uint8_t* data, long long n,
-                           const uint32_t* codes, const uint8_t* lens,
-                           long long block_bytes, uint8_t* out, int nthreads) {
-  if (n == 0) return 0;
+// Per-block 256-bin histograms, threaded over blocks: out[b*256 + s].
+// One pass gives the global histogram (sum over blocks), the exact output
+// size, AND per-block bit lengths (counts . lens) — so the parallel pack
+// can skip its sizing pass entirely (et_pack_parallel_sized).
+void et_histogram_blocks(const uint8_t* data, long long n,
+                         long long block_bytes, long long* out,
+                         int nthreads) {
   const long long nb = (n + block_bytes - 1) / block_bytes;
-  std::vector<long long> bits((size_t)nb);
-  std::atomic<bool> bad(false);
   et_parallel_for(nb, et_nthreads(nthreads), [&](long long b) {
     const long long lo = b * block_bytes;
     const long long hi = (lo + block_bytes < n) ? lo + block_bytes : n;
-    long long s = 0;
-    for (long long i = lo; i < hi; ++i) {
-      const int len = lens[data[i]];
-      if (len == 0) bad.store(true, std::memory_order_relaxed);
-      s += len;
+    long long h4[4][256];
+    std::memset(h4, 0, sizeof h4);
+    long long i = lo;
+    for (; i + 4 <= hi; i += 4) {
+      ++h4[0][data[i]];
+      ++h4[1][data[i + 1]];
+      ++h4[2][data[i + 2]];
+      ++h4[3][data[i + 3]];
     }
-    bits[(size_t)b] = s;
+    for (; i < hi; ++i) ++h4[0][data[i]];
+    long long* h = out + b * 256;
+    for (int s = 0; s < 256; ++s) h[s] = h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
   });
-  if (bad.load()) return -1;
+}
 
+// Threaded block-parallel pack straight into the final (pre-zeroed) stream
+// with caller-provided per-block bit lengths (from et_histogram_blocks):
+// a prefix sum places every block, then blocks pack concurrently, OR-ing
+// the shared boundary bytes atomically.
+long long et_pack_parallel_sized(const uint8_t* data, long long n,
+                                 const uint32_t* codes, const uint8_t* lens,
+                                 long long block_bytes, const long long* bits,
+                                 uint8_t* out, int nthreads) {
+  if (n == 0) return 0;
+  const long long nb = (n + block_bytes - 1) / block_bytes;
   std::vector<long long> off((size_t)nb + 1);
   off[0] = 0;
-  for (long long b = 0; b < nb; ++b) off[(size_t)b + 1] = off[(size_t)b] + bits[(size_t)b];
+  for (long long b = 0; b < nb; ++b) off[(size_t)b + 1] = off[(size_t)b] + bits[b];
   const long long total_bits = off[(size_t)nb];
 
   et_parallel_for(nb, et_nthreads(nthreads), [&](long long b) {
@@ -331,6 +344,30 @@ long long et_pack_parallel(const uint8_t* data, long long n,
     if (nbits > 0) __atomic_fetch_or(p, (uint8_t)(acc >> 56), __ATOMIC_RELAXED);
   });
   return total_bits;
+}
+
+// Self-sizing variant: pass 1 sizes every block, then delegates.
+long long et_pack_parallel(const uint8_t* data, long long n,
+                           const uint32_t* codes, const uint8_t* lens,
+                           long long block_bytes, uint8_t* out, int nthreads) {
+  if (n == 0) return 0;
+  const long long nb = (n + block_bytes - 1) / block_bytes;
+  std::vector<long long> bits((size_t)nb);
+  std::atomic<bool> bad(false);
+  et_parallel_for(nb, et_nthreads(nthreads), [&](long long b) {
+    const long long lo = b * block_bytes;
+    const long long hi = (lo + block_bytes < n) ? lo + block_bytes : n;
+    long long s = 0;
+    for (long long i = lo; i < hi; ++i) {
+      const int len = lens[data[i]];
+      if (len == 0) bad.store(true, std::memory_order_relaxed);
+      s += len;
+    }
+    bits[(size_t)b] = s;
+  });
+  if (bad.load()) return -1;
+  return et_pack_parallel_sized(data, n, codes, lens, block_bytes, bits.data(),
+                                out, nthreads);
 }
 
 // Sliding-bit-buffer decoder state: one byte load per 8 stream bits instead

@@ -65,8 +65,9 @@ def _use_pallas() -> bool:
 
 
 def bytes_to_cols(padded: np.ndarray, lanes: int, k: int) -> jax.Array:
-    """uint8[lanes*k] -> int32[lanes, k] byte columns (device array)."""
-    return jnp.asarray(padded.reshape(lanes, k).astype(np.int32))
+    """uint8[lanes*k] -> int32[lanes, k] byte columns. The H2D transfer
+    ships uint8 (1 B/byte); the widening cast runs on device."""
+    return jnp.asarray(padded.reshape(lanes, k)).astype(jnp.int32)
 
 
 def _table_T_bf16(fsm: ByteFsm) -> jax.Array:

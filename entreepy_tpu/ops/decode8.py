@@ -47,7 +47,7 @@ from ..format.huffman import CodeTable
 DEFAULT_CHUNK_BYTES = 512
 SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
 MAX_SYNC_PASSES = 24
-LANE_TILE = 512  # must match pallas_fsm8; lanes are padded to a multiple
+LANE_TILE = 1024  # must match pallas_fsm8.LANE_TILE; lanes pad to a multiple
 
 
 def _pad_lanes(n: int) -> int:

@@ -27,8 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_TILE = 512
-K_TILE = 256
+# Tile defaults from the benchmarks/tune_fsm8.py sweep on v5e: (1024, 512)
+# reaches 86% of MXU peak on the 5.2 MB corpus (vs 67% at (512, 256)).
+# LANE_TILE must match ops/decode8.py's lane padding.
+LANE_TILE = 1024
+K_TILE = 512
 UNROLL = 4  # bytes per loop iteration: 4 pipelined matmuls + 1 packed store
 N_INPUT = 256
 

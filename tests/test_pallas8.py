@@ -45,3 +45,9 @@ def test_pallas8_multi_k_tiles(midsummer):
     s2, u2 = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real), interpret=True)
     assert bool(u1) == bool(u2) is False
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_lane_tile_constants_match():
+    from entreepy_tpu.ops import decode8, pallas_fsm8
+
+    assert decode8.LANE_TILE == pallas_fsm8.LANE_TILE

@@ -74,8 +74,7 @@ def encode_blocks_device(
 
     if _use_pallas():
         try:  # fused kernel needs tile-compatible shapes
-            from .pallas_fsm import _tiles
-            from .pallas_pack import pack_blocks_pallas
+            from .pallas_pack import _tiles, pack_blocks_pallas
 
             _tiles(n_bucket, block_bytes)
             pack = pack_blocks_pallas

@@ -20,10 +20,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fsm import _tiles
-
 N_SYMS = 256
-UNROLL = 8  # lookup matmuls issued per loop iteration
+# Tile defaults from the benchmarks/tune_pack.py sweep on v5e: (1024, 512)
+# with 16 batched lookups per iteration packs the 5.2 MB corpus in 0.60 ms
+# per pass (8.7 GB/s) vs 1.11 ms at the gen-1 (512, 256, 8) tiling.
+LANE_TILE = 1024
+K_TILE = 512
+UNROLL = 16  # lookup matmuls issued per loop iteration
+
+
+def _tiles(lanes: int, k: int) -> tuple[int, int]:
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE, k)
+    if lanes % lt or k % kt:
+        raise ValueError(f"lanes={lanes} k={k} not divisible by tiles ({lt},{kt})")
+    return lt, kt
 
 
 def _pack_kernel(bytes_ref, valid_ref, codetbl_ref, words_ref, emitted_ref,

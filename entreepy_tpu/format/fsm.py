@@ -1,4 +1,5 @@
-"""Nibble-granularity Huffman decode FSM — the MXU-native decode table.
+"""Nibble-granularity Huffman decode FSM (gen 1) — see format/fsm8.py for
+the byte-granularity successor that now backs the default decode paths.
 
 The reference decodes with a hash probe per candidate code length per symbol
 (``decode.zig:166-200``). Gather/hash lookups serialize on TPU, so the

@@ -1,4 +1,8 @@
-"""Chunk-parallel Huffman decode as an MXU one-hot-matmul FSM scan.
+"""Chunk-parallel Huffman decode as an MXU one-hot-matmul FSM scan (gen 1).
+
+Superseded as the default device decoder by the byte-granularity
+state-sequence design in ops/decode8.py (half the sequential steps, ~10x
+less D2H); kept as a tested alternate, selectable with ENTREEPY_FSM=nibble.
 
 The reference decodes one symbol at a time through a u32 shift register and a
 hash probe per candidate length (``decode.zig:143-203``, ~0.44 MB/s). A

@@ -1,4 +1,5 @@
-"""Pallas TPU kernels for the FSM decoder.
+"""Pallas TPU kernels for the nibble FSM decoder (gen 1; the default is
+now the byte-granularity ops/pallas_fsm8.py).
 
 The XLA `lax.scan` formulation (ops/decode.py) re-issues the per-step op
 sequence from HBM-resident state; these kernels fuse the whole nibble loop

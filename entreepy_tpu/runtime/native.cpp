@@ -609,7 +609,13 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
 // a root entry guess, recording the pre-state of their first SYNCB bytes; a
 // serial confirmation walks each chunk from its true entry until the state
 // matches the recorded one (prefix codes self-synchronize within a few
-// bytes), then the speculative output is exact. Tables: next_tbl u8[S*256],
+// bytes), then the speculative output is exact.
+//
+// Measured design notes (do not "optimize" these away): a scratch-free
+// variant whose emit pass re-walks each chunk instead of memcpy-ing the
+// speculative symbols benchmarked ~2x slower at every size (table walks
+// don't stream; memcpy does), and madvise(MADV_HUGEPAGE) on the scratch
+// made cold calls ~4x slower on this kernel (synchronous huge-page zeroing). Tables: next_tbl u8[S*256],
 // counts_tbl i8[S*256] (-1 = invalid transition), syms_tbl u8[S*256*8].
 // out must have >= 8 bytes of slack past n_symbols. Returns the 0-based
 // byte index at which the n_symbols-th symbol completed (the caller checks

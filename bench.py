@@ -74,7 +74,7 @@ def device_kernel_decode_ms(et: bytes) -> float | None:
     )
     try:
         r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=240)
+                           text=True, timeout=420)
         for line in r.stdout.splitlines():
             if line.startswith("DEVJS "):
                 return json.loads(line[6:])

@@ -316,32 +316,60 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
   for (long long b = 0; b < nb; ++b) off[(size_t)b + 1] = off[(size_t)b] + bits[b];
   const long long total_bits = off[(size_t)nb];
 
-  et_parallel_for(nb, et_nthreads(nthreads), [&](long long b) {
-    const long long lo = b * block_bytes;
-    const long long hi = (lo + block_bytes < n) ? lo + block_bytes : n;
-    const long long start = off[(size_t)b];
-    uint8_t* p = out + (start >> 3);
+  // Each task interleaves TWO independent blocks so their serial
+  // accumulator/lookup chains overlap (same trick as the decode pass 1).
+  struct PK {
+    const uint8_t* i;
+    const uint8_t* hi;
+    uint8_t* p;
     uint64_t acc = 0;
-    int nbits = (int)(start & 7);  // lead zeros over the shared boundary byte
+    int nbits = 0;
     bool first = true;
-    for (long long i = lo; i < hi; ++i) {
-      const uint8_t sym = data[i];
-      acc |= (uint64_t)codes[sym] << (64 - nbits - lens[sym]);
-      nbits += lens[sym];
-      while (nbits >= 8) {
-        const uint8_t byte = (uint8_t)(acc >> 56);
-        if (first) {
-          __atomic_fetch_or(p, byte, __ATOMIC_RELAXED);
-          first = false;
-        } else {
-          *p = byte;
-        }
-        ++p;
-        acc <<= 8;
-        nbits -= 8;
+  };
+  auto pk_init = [&](long long b, PK& st) {
+    const long long lo = b * block_bytes;
+    const long long hie = (lo + block_bytes < n) ? lo + block_bytes : n;
+    const long long start = off[(size_t)b];
+    st.i = data + lo;
+    st.hi = data + hie;
+    st.p = out + (start >> 3);
+    st.nbits = (int)(start & 7);  // lead zeros over the shared boundary byte
+  };
+  auto pk_step = [&](PK& st) {
+    const uint8_t sym = *st.i++;
+    st.acc |= (uint64_t)codes[sym] << (64 - st.nbits - lens[sym]);
+    st.nbits += lens[sym];
+    while (st.nbits >= 8) {
+      const uint8_t byte = (uint8_t)(st.acc >> 56);
+      if (st.first) {
+        __atomic_fetch_or(st.p, byte, __ATOMIC_RELAXED);
+        st.first = false;
+      } else {
+        *st.p = byte;
       }
+      ++st.p;
+      st.acc <<= 8;
+      st.nbits -= 8;
     }
-    if (nbits > 0) __atomic_fetch_or(p, (uint8_t)(acc >> 56), __ATOMIC_RELAXED);
+  };
+  auto pk_finish = [&](PK& st) {
+    if (st.nbits > 0) __atomic_fetch_or(st.p, (uint8_t)(st.acc >> 56), __ATOMIC_RELAXED);
+  };
+  const long long npair = (nb + 1) / 2;
+  et_parallel_for(npair, et_nthreads(nthreads), [&](long long pi) {
+    PK a, b2;
+    pk_init(2 * pi, a);
+    if (2 * pi + 1 < nb) {
+      pk_init(2 * pi + 1, b2);
+      while (a.i < a.hi && b2.i < b2.hi) {
+        pk_step(a);
+        pk_step(b2);
+      }
+      while (b2.i < b2.hi) pk_step(b2);
+      pk_finish(b2);
+    }
+    while (a.i < a.hi) pk_step(a);
+    pk_finish(a);
   });
   return total_bits;
 }

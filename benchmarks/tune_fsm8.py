@@ -22,14 +22,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import numpy as np  # noqa: E402
 
+# Best measured: the default (1024, 4, 512) reaches 86-98% of MXU bf16 peak
+# on the 5.2 MB corpus; (*, 4, 1024) drops to ~80%, (2048, 4, 1024) fails to
+# compile (VMEM), and UNROLL=8 would need 2-row output packing.
 CONFIGS = [
     # (LANE_TILE, UNROLL, K_TILE)
-    (512, 4, 256),  # current default
-    (512, 8, 256),
-    (1024, 4, 256),
-    (1024, 8, 256),
-    (256, 4, 256),
-    (1024, 4, 512),
+    (1024, 4, 512),  # current default
+    (512, 4, 256),
+    (1024, 4, 1024),
     (2048, 4, 512),
 ]
 

@@ -189,3 +189,27 @@ def test_expand_states_numpy_vs_native(macbeth):
         native, end_byte = res
         assert native.tobytes() == macbeth
         assert end_byte == buf.size - 1  # last symbol completes in last byte
+
+
+def test_random_tables_fsm8_matches_lut():
+    """Property: for arbitrary (not corpus-derived) code tables, the byte-FSM
+    decode semantics must equal the serial LUT walk on random streams."""
+    from entreepy_tpu.format.huffman import build_code_table
+
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        n_sym = int(rng.integers(2, 257))
+        syms = rng.choice(256, size=n_sym, replace=False)
+        counts = np.zeros(256, dtype=np.int64)
+        counts[syms] = rng.integers(1, 10_000, size=n_sym)
+        table = build_code_table(counts)
+        # random stream over the present symbols, weighted arbitrarily
+        data = rng.choice(syms, size=int(rng.integers(10, 3000))).astype(np.uint8)
+        body, _ = pack_body_host(data, table)
+        lut = build_decode_lut(table)
+        ref = unpack_body_host(body, lut, data.size)
+        fsm = build_byte_fsm(table)
+        syms_out, _ = fsm8_decode_host(fsm, np.frombuffer(body, np.uint8))
+        assert bytes(syms_out[: data.size]) == data.tobytes() == ref.tobytes()
+        out = decode_body_device(body, table, data.size, chunk_bytes=64)
+        assert out.tobytes() == data.tobytes()

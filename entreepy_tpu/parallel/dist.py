@@ -90,10 +90,24 @@ def _hist_fn(mesh: Mesh, axis: str):
 
 @lru_cache(maxsize=None)
 def _pack_fn(mesh: Mesh, axis: str):
+    n_dev = mesh.devices.size
+
     @jax.jit
     def f(blocks, valid, codetbl):
+        # Per-shard kernel: the fused Pallas pack on real TPUs when the
+        # local block count tiles cleanly, the XLA scan elsewhere.
+        local_pack = pack_blocks_scan
+        if _use_pallas():
+            from ..ops.pallas_pack import _tiles as _pack_tiles
+            from ..ops.pallas_pack import pack_blocks_pallas
+
+            try:
+                _pack_tiles(blocks.shape[0] // n_dev, blocks.shape[1])
+                local_pack = pack_blocks_pallas
+            except ValueError:
+                pass
         return shard_map(
-            pack_blocks_scan,
+            local_pack,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis)),

@@ -168,7 +168,7 @@ def main() -> int:
     s1, _ = fsm8_decode(cols, tbl, jnp.int32(n_real))
     s2, _ = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
-    out = expand_states(np.asarray(s2), buf, fsm, hdr.body_len, hdr.table.lengths)
+    out = expand_states(np.asarray(s2), buf, fsm, hdr.body_len)
     assert out.tobytes() == data
     results["bit_equal"] = True
 

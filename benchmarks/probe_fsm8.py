@@ -91,7 +91,7 @@ def main() -> int:
 
     # bit-equality: expand on host, compare with original data
     s, u = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
-    out = expand_states(np.asarray(s), buf, fsm, hdr.body_len, hdr.table.lengths)
+    out = expand_states(np.asarray(s), buf, fsm, hdr.body_len)
     assert out.tobytes() == data, "pallas decode mismatch"
     results["bit_equal"] = True
 

@@ -92,9 +92,7 @@ def main() -> int:
             pp = max((t11 - t1) / 10, 1e-9)
             # correctness: full decode, bit equality
             s, u = pallas_fsm8.fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
-            out = decode8.expand_states(
-                np.asarray(s), buf, fsm, hdr.body_len, hdr.table.lengths
-            )
+            out = decode8.expand_states(np.asarray(s), buf, fsm, hdr.body_len)
             ok = out.tobytes() == data and not bool(u)
             mfu = buf.size * fsm.width * 256 / pp / 98.5e12 * 100
             print(json.dumps({

@@ -134,6 +134,24 @@ def _check_end_byte(end_byte: int, n_body: int, n_symbols: int) -> None:
         )
 
 
+def _check_stream_bits(out: np.ndarray, lengths: np.ndarray, n_body: int) -> None:
+    """The exact-bit invariant for paths that do not track an end byte (the
+    serial LUT walk): sum the decoded code lengths via a histogram and
+    require them to land in the final body byte — keeps accept/reject
+    behavior identical across every backend."""
+    from .. import runtime
+
+    hist = runtime.histogram(out)
+    if hist is None:
+        hist = np.bincount(out, minlength=256).astype(np.int64)
+    used = int((hist * lengths.astype(np.int64)).sum())
+    if not (n_body - 1) * 8 < used <= n_body * 8:
+        raise ValueError(
+            f"corrupt bitstream: {out.size} symbols span {used} bits, "
+            f"body has {n_body * 8}"
+        )
+
+
 def unpack_body_np(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
     """Pure-Python serial LUT walk — the independent correctness anchor."""
     buf = np.frombuffer(body, dtype=np.uint8)
@@ -180,15 +198,36 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
     # Fast path: ONE data pass computes per-block histograms; their sum is
     # the global histogram, their dot with the code lengths gives both the
     # exact output size and each block's bit offset — so the threaded pack
-    # needs no sizing pass of its own.
+    # needs no sizing pass of its own. With a progress callback the same
+    # pass runs in 10 block-aligned sections (measured ticks, same result).
     counts_blocks = None
-    if arr.size >= runtime.PARALLEL_MIN_BYTES and progress is None:
+    if arr.size >= runtime.PARALLEL_MIN_BYTES:
         with phase("histogram", arr.size):
-            counts_blocks = runtime.histogram_blocks(arr)
+            if progress is None:
+                counts_blocks = runtime.histogram_blocks(arr)
+            else:
+                bb = runtime.PACK_BLOCK_BYTES
+                nb = -(-arr.size // bb)
+                groups = np.linspace(0, nb, 11, dtype=np.int64)
+                rows = []
+                for gi in range(10):
+                    b0, b1 = int(groups[gi]), int(groups[gi + 1])
+                    if b1 > b0:
+                        part = runtime.histogram_blocks(
+                            arr[b0 * bb : min(b1 * bb, arr.size)], bb
+                        )
+                        if part is None:
+                            rows = None
+                            break
+                        rows.append(part)
+                    tick(5 + 3 * (gi + 1), "Counting characters...")
+                if rows:
+                    counts_blocks = np.concatenate(rows)
     if counts_blocks is not None:
         counts = counts_blocks.sum(axis=0)
         with phase("code_table"):
             table = build_code_table(counts, strict=strict)
+        tick(40, "Building tree...")
         with phase("pack_body", arr.size):
             block_bits = counts_blocks @ table.lengths.astype(np.int64)
             packed = runtime.pack_body_sized(
@@ -196,6 +235,7 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
             )
             if packed is None:  # stale lib without the sized entry point
                 packed = pack_body_host(arr, table, counts=counts)
+        tick(90, "Writing compressed text...")
         return serialize_header(table, arr.size) + packed[0]
 
     with phase("histogram", arr.size):
@@ -236,5 +276,6 @@ def decompress_host(et: bytes, *, progress=None) -> bytes:
         lut = build_decode_lut(hdr.table)
         tick(25, "Decoding text...")
         out = unpack_body_host(body, lut, hdr.body_len)
+        _check_stream_bits(out, hdr.table.lengths, len(body))
     tick(90, "Writing decoded text...")
     return out.tobytes()

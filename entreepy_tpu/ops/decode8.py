@@ -47,7 +47,7 @@ from ..format.huffman import CodeTable
 DEFAULT_CHUNK_BYTES = 512
 SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
 MAX_SYNC_PASSES = 24
-LANE_TILE = 1024  # must match pallas_fsm8.LANE_TILE; lanes pad to a multiple
+from .pallas_fsm8 import LANE_TILE  # lanes pad to a multiple of the kernel tile
 
 
 def _pad_lanes(n: int) -> int:
@@ -150,7 +150,6 @@ def expand_states(
     body: np.ndarray,
     fsm: ByteFsm,
     n_symbols: int,
-    lengths: np.ndarray,
 ) -> np.ndarray:
     """(per-byte pre-states, body bytes) -> uint8[n_symbols] in stream order.
 
@@ -223,13 +222,17 @@ def decode_body_device(
         states, unconverged = decode_fn(cols, _table_T_bf16(fsm), jnp.int32(n_real_lanes))
     if bool(unconverged):
         # Pathologically periodic streams can defeat chunk self-sync; the
-        # exact serial host decoder is the always-correct fallback.
+        # exact serial host decoder is the always-correct fallback (with the
+        # same exact-bit invariant every other path enforces).
         from .. import format as _fmt
+        from ..format.hostcodec import _check_stream_bits
 
         lut = _fmt.build_decode_lut(table)
-        return _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+        out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+        _check_stream_bits(out, table.lengths, buf.size)
+        return out
     with phase("device_fetch_expand", n_symbols):
-        return expand_states(np.asarray(states), buf, fsm, n_symbols, table.lengths)
+        return expand_states(np.asarray(states), buf, fsm, n_symbols)
 
 
 def decompress_device(et: bytes, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> bytes:

@@ -177,6 +177,14 @@ def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
     return packed, exits.reshape(lanes)
 
 
+def unpack_states_packed(packed, k: int):
+    """int32[K/4, lanes] (4 pre-states MSB-first per word) -> uint8[K, lanes]
+    (elementwise shifts; no gathers)."""
+    shifts = jnp.array([24, 16, 8, 0], jnp.int32).reshape(1, 4, 1)
+    states = ((packed[:, None, :] >> shifts) & 0xFF).astype(jnp.uint8)
+    return states.reshape(k, packed.shape[1])
+
+
 @partial(jax.jit, static_argnames=("max_passes", "interpret"))
 def fsm8_decode_pallas(cols, table_T, n_real_lanes, max_passes: int | None = None,
                        interpret: bool = False):
@@ -213,7 +221,4 @@ def fsm8_decode_pallas(cols, table_T, n_real_lanes, max_passes: int | None = Non
     )
     unconverged = jnp.any(jnp.logical_and(entries != prev, real))
 
-    # Unpack 4-per-word -> uint8[lanes, K] (elementwise; no gathers).
-    shifts = jnp.array([24, 16, 8, 0], jnp.int32).reshape(1, 4, 1)
-    states = ((packed[:, None, :] >> shifts) & 0xFF).astype(jnp.uint8)
-    return states.reshape(k, lanes).T, unconverged
+    return unpack_states_packed(packed, k).T, unconverged

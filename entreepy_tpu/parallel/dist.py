@@ -176,13 +176,15 @@ def _decode_fn(mesh: Mesh, axis: str):
         lanes_local = lanes // n_dev
 
         if _use_pallas() and lanes_local % LANE_TILE == 0:
-            from ..ops.pallas_fsm8 import emit_pass_pallas8, sync_pass_pallas8
+            from ..ops.pallas_fsm8 import (
+                emit_pass_pallas8,
+                sync_pass_pallas8,
+                unpack_states_packed,
+            )
 
             def full_pass(xs, entries_local):
                 packed, exits = emit_pass_pallas8(xs, table_T, entries_local)
-                shifts = jnp.array([24, 16, 8, 0], jnp.int32).reshape(1, 4, 1)
-                states = ((packed[:, None, :] >> shifts) & 0xFF).astype(jnp.uint8)
-                return exits, states.reshape(k, lanes_local)
+                return exits, unpack_states_packed(packed, k)
 
             def suffix_pass(xs_suffix, zeros):
                 return sync_pass_pallas8(xs_suffix, table_T, zeros)
@@ -273,9 +275,10 @@ def decompress_sharded(
         # Pathologically periodic streams can defeat chunk self-sync; fall
         # back to the exact serial host decoder.
         from ..format import build_decode_lut, unpack_body_host
+        from ..format.hostcodec import _check_stream_bits
 
         lut = build_decode_lut(hdr.table)
-        return unpack_body_host(buf.tobytes(), lut, hdr.body_len).tobytes()
-    return expand_states(
-        _fetch(states), buf, fsm, hdr.body_len, hdr.table.lengths
-    ).tobytes()
+        out = unpack_body_host(buf.tobytes(), lut, hdr.body_len)
+        _check_stream_bits(out, hdr.table.lengths, buf.size)
+        return out.tobytes()
+    return expand_states(_fetch(states), buf, fsm, hdr.body_len).tobytes()

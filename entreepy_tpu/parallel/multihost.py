@@ -62,10 +62,15 @@ def init(**kwargs) -> None:
         if kwargs or "coordinator_address" not in str(e):
             raise
         # auto-detect found no cluster environment: single-process run
-    except RuntimeError:
-        if kwargs:
+    except RuntimeError as e:
+        # tolerate ONLY "the XLA backend is already up in this process" (a
+        # single-process session that touched jax before init); a pod-side
+        # failure like a coordinator handshake timeout must propagate
+        msg = str(e)
+        if kwargs or not (
+            "must be called before" in msg or "called once" in msg
+        ):
             raise
-        # backend already initialized in this (single-)process session
     _initialized = True
 
 

@@ -112,21 +112,23 @@ def _load() -> ctypes.CDLL | None:
         lib.et_compact_symbols.argtypes = [_u32p, _i32p, _ll, _u8p, _ll]
         lib.et_sum_counts.restype = _ll
         lib.et_sum_counts.argtypes = [_i32p, _ll]
-        try:  # newer entry points: tolerate a stale prebuilt .so
-            lib.et_fsm8_expand.restype = _ll
-            lib.et_fsm8_expand.argtypes = [_u8p, _u8p, _ll, _i8p, _u8p, _u8p, _ll]
-            lib.et_fsm8_decode_parallel.restype = _ll
-            lib.et_fsm8_decode_parallel.argtypes = [
-                _u8p, _ll, _u8p, _i8p, _u8p, _ll, _u8p, _ll, ctypes.c_int,
-            ]
-            lib.et_histogram_blocks.restype = None
-            lib.et_histogram_blocks.argtypes = [_u8p, _ll, _ll, _i64p, ctypes.c_int]
-            lib.et_pack_parallel_sized.restype = _ll
-            lib.et_pack_parallel_sized.argtypes = [
-                _u8p, _ll, _u32p, _u8p, _ll, _i64p, _u8p, ctypes.c_int,
-            ]
-        except AttributeError:
-            pass
+        # newer entry points: registered individually so one missing symbol
+        # (stale/custom prebuilt .so) doesn't leave the others unconfigured
+        # while hasattr() still finds them
+        for name, restype, argtypes in (
+            ("et_fsm8_expand", _ll, [_u8p, _u8p, _ll, _i8p, _u8p, _u8p, _ll]),
+            ("et_fsm8_decode_parallel", _ll,
+             [_u8p, _ll, _u8p, _i8p, _u8p, _ll, _u8p, _ll, ctypes.c_int]),
+            ("et_histogram_blocks", None, [_u8p, _ll, _ll, _i64p, ctypes.c_int]),
+            ("et_pack_parallel_sized", _ll,
+             [_u8p, _ll, _u32p, _u8p, _ll, _i64p, _u8p, ctypes.c_int]),
+        ):
+            try:
+                fn = getattr(lib, name)
+                fn.restype = restype
+                fn.argtypes = argtypes
+            except AttributeError:
+                pass
         lib.et_assemble_payloads.restype = ctypes.c_int
         lib.et_assemble_payloads.argtypes = [
             _u32p, _u8p, _ll, _ll, _u32p, _i32p, _u32p, _ll, _i64p,
@@ -302,7 +304,11 @@ def pack_body_sized(data, codes, lengths, block_bits: np.ndarray,
         np.ascontiguousarray(lengths, dtype=np.uint8),
         block_bytes, bits, out, 0,
     )
-    assert r == total, (r, total)
+    if r != total:  # caller's per-block bit sums disagree with the data
+        raise RuntimeError(
+            f"pack_body_sized: packed {r} bits but sizing said {total} "
+            "(histogram and data out of sync?)"
+        )
     return out[: (total + 7) // 8].tobytes(), total
 
 

@@ -679,8 +679,12 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
 
   // 2 symbols of scratch per compressed byte plus copy slack; the guess walk
   // stops storing (and flags a re-walk) when the next 8-byte copy would not
-  // fit, so run-heavy streams degrade to counting, never overflow.
-  const long long cap = chunk_bytes * 2 + 8;
+  // fit, so run-heavy streams degrade to counting, never overflow. The
+  // prefix recorder writes unconditionally for its first SYNCB bytes (up to
+  // 8 symbols each), so cap must cover that even for tiny chunk_bytes.
+  const long long cap =
+      (chunk_bytes * 2 > (long long)SYNCB * 8 ? chunk_bytes * 2
+                                              : (long long)SYNCB * 8) + 8;
   std::unique_ptr<uint8_t[]> scratch(new uint8_t[(size_t)(nc * cap)]);
   const bool trace = std::getenv("ENTREEPY_TRACE_NATIVE") != nullptr;
   auto tick = std::chrono::steady_clock::now();

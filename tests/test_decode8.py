@@ -181,7 +181,7 @@ def test_expand_states_numpy_vs_native(macbeth):
     for i, b in enumerate(buf):
         states[i] = s
         s = int(fsm.next_state[s, b])
-    out = expand_states(states, buf, fsm, arr.size, table.lengths)
+    out = expand_states(states, buf, fsm, arr.size)
     assert out.tobytes() == macbeth
     if runtime.available():
         res = runtime.fsm8_expand(states, buf, fsm.counts, fsm.syms, arr.size)

@@ -82,6 +82,18 @@ def test_fuzz_corruption_consistency(kind):
                 assert got == ref
 
 
+def test_overlong_stream_rejected_everywhere():
+    """Trailing extra body bytes must be rejected by EVERY backend — the
+    exact-bit invariant is not allowed to be size- or backend-dependent
+    (round-2 review finding: the small-body host LUT path used to accept)."""
+    good = compress_host(b"ab" * 500)
+    bad = good + b"\x00" * 4
+    for backend in ("host", "device", "sharded"):
+        with pytest.raises(ValueError):
+            et.decompress(bad, backend=backend)
+        assert et.decompress(good, backend=backend) == b"ab" * 500
+
+
 def test_relaxed_single_symbol_all_backends():
     """strict=False single-symbol files produce a non-full tree (unreachable
     trie edges exist); every decode path must still round-trip."""

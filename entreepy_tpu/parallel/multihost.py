@@ -51,11 +51,25 @@ def init(**kwargs) -> None:
         return
     # NB: no jax.process_count()/jax.devices() before initialize — those
     # calls initialize the XLA backend and make distributed bring-up
-    # impossible. global_state is safe to inspect.
-    state = getattr(getattr(jax._src, "distributed", None), "global_state", None)
-    if state is not None and getattr(state, "client", None) is not None:
+    # impossible. Prefer the public is_initialized() (jax >= 0.4.34); fall
+    # back to probing the private global_state (verified on jax 0.5-0.7),
+    # and treat any probe failure as "not initialized" so a jax refactor
+    # degrades to attempting initialize() rather than crashing here.
+    try:
+        is_init = getattr(jax.distributed, "is_initialized", None)
+        if is_init is not None:
+            already = bool(is_init())
+        else:
+            state = getattr(getattr(jax._src, "distributed", None), "global_state", None)
+            already = state is not None and getattr(state, "client", None) is not None
+    except Exception:
+        already = False
+    if already:
         _initialized = True  # someone already brought distributed up
         return
+    # The string matches below pin failure semantics to jax's error wording
+    # (verified against jax 0.7.x in this image); a rewording would make the
+    # corresponding error propagate (fail loud) rather than be swallowed.
     try:
         jax.distributed.initialize(**kwargs)
     except ValueError as e:

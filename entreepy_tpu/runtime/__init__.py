@@ -304,7 +304,12 @@ def pack_body_sized(data, codes, lengths, block_bits: np.ndarray,
         np.ascontiguousarray(lengths, dtype=np.uint8),
         block_bytes, bits, out, 0,
     )
-    if r != total:  # caller's per-block bit sums disagree with the data
+    if r == -1:  # a block needed more bits than its claim: writes truncated
+        raise RuntimeError(
+            "pack_body_sized: a block's bits exceed its claimed size "
+            "(histogram and data out of sync?)"
+        )
+    if r != total:  # under-used claims: totals disagree with the data
         raise RuntimeError(
             f"pack_body_sized: packed {r} bits but sizing said {total} "
             "(histogram and data out of sync?)"

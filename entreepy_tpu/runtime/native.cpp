@@ -318,11 +318,17 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
 
   // Each task interleaves TWO independent blocks so their serial
   // accumulator/lookup chains overlap (same trick as the decode pass 1).
+  // `budget` caps writes at the caller's claimed per-block bit length: a
+  // wrong `bits` array makes the pack return -1 instead of writing past the
+  // output buffer (the offsets — and the caller's allocation — are derived
+  // from those same claims).
+  std::atomic<bool> oversized(false);
   struct PK {
     const uint8_t* i;
     const uint8_t* hi;
     uint8_t* p;
     uint64_t acc = 0;
+    long long budget = 0;
     int nbits = 0;
     bool first = true;
   };
@@ -334,9 +340,16 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
     st.hi = data + hie;
     st.p = out + (start >> 3);
     st.nbits = (int)(start & 7);  // lead zeros over the shared boundary byte
+    st.budget = bits[b];
   };
   auto pk_step = [&](PK& st) {
     const uint8_t sym = *st.i++;
+    st.budget -= lens[sym];
+    if (st.budget < 0) {  // claimed size exceeded: truncate this block
+      oversized.store(true, std::memory_order_relaxed);
+      st.i = st.hi;
+      return;
+    }
     st.acc |= (uint64_t)codes[sym] << (64 - st.nbits - lens[sym]);
     st.nbits += lens[sym];
     while (st.nbits >= 8) {
@@ -371,6 +384,7 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
     while (a.i < a.hi) pk_step(a);
     pk_finish(a);
   });
+  if (oversized.load()) return -1;
   return total_bits;
 }
 
@@ -669,7 +683,14 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
     long long emit = 0;       // true symbol count
     long long ngap = 0;
     long long from_sym = 0;   // scratch symbol index where sync begins
-    long long first_bad = -1; // first guess-walk byte with invalid transition
+    long long last_bad = -1;  // LAST guess-walk byte with an invalid
+                              // transition: any invalid at-or-after the sync
+                              // byte lies on the true path (the guess and
+                              // true walks coincide from the sync byte on),
+                              // and "last_bad >= sync" detects that even when
+                              // a spurious pre-sync invalid also occurred
+                              // (tracking only the first invalid silently
+                              // accepted such corruptions)
     uint8_t entry = 0, exit = 0;
     int nrec = 0;
     bool rewalk = false;      // scratch overflow / no sync: emit re-walks
@@ -708,7 +729,7 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
     Chunk* c;
     uint32_t state = 0;
     long long w = 0;
-    long long first_bad = -1;
+    long long last_bad = -1;
     long long lo_idx = 0;
     bool rewalk = false;
   };
@@ -730,8 +751,8 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
       if (cnt > 0) {
         std::memcpy(st.s + st.w, syms_tbl + (size_t)idx * 8, 8);  // cap slack
         st.w += cnt;
-      } else if (cnt < 0 && st.first_bad < 0) {
-        st.first_bad = j - lo;
+      } else if (cnt < 0) {
+        st.last_bad = j - lo;
       }
       st.state = next_tbl[idx];
     }
@@ -749,8 +770,8 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
         st.rewalk = true;  // scratch out of room: count only
       }
       st.w += cnt;
-    } else if (cnt < 0 && st.first_bad < 0) {
-      st.first_bad = (st.j - body) - st.lo_idx;
+    } else if (cnt < 0) {
+      st.last_bad = (st.j - body) - st.lo_idx;
     }
     st.state = next_tbl[idx];
     ++st.j;
@@ -759,7 +780,7 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
     Chunk& c = *st.c;
     c.count = st.w;
     c.exit = (uint8_t)st.state;
-    c.first_bad = st.first_bad;
+    c.last_bad = st.last_bad;
     c.rewalk = st.rewalk;
   };
   const long long npair = (nc + 1) / 2;
@@ -814,12 +835,12 @@ long long et_fsm8_decode_parallel(const uint8_t* body, long long n,
       c.from_sym = c.syms_at[sync];
       c.emit = ng + (c.count - c.from_sym);
       // invalid transitions on/after the sync byte are on the true path
-      if (c.first_bad >= sync) c.bad_true = true;
+      if (c.last_bad >= sync) c.bad_true = true;
       entry = c.exit;
     } else if (sync >= 0) {
       // synced but scratch overflowed: count is exact, emit re-walks
       c.emit = ng + (c.count - c.syms_at[sync]);
-      if (c.first_bad >= sync) c.bad_true = true;
+      if (c.last_bad >= sync) c.bad_true = true;
       c.from_sym = sync;  // reused as the sync BYTE for the re-walk
       entry = c.exit;
     } else {

@@ -43,6 +43,10 @@ class ProgressBar:
         self._step = 0
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        # update() renders synchronously from the codec thread while the
+        # 10 ms poll thread renders too; the lock keeps the \r-prefixed
+        # frames from interleaving on the shared stream.
+        self._render_lock = threading.Lock()
 
     def start(self):
         if not self.enabled or self._thread is not None:
@@ -82,10 +86,11 @@ class ProgressBar:
         bar = "".join(cells) + " " * (BAR_LENGTH - done)
         top = "╔" + "═" * (BAR_LENGTH + 2) + "╗"
         bot = "╚" + "═" * (BAR_LENGTH + 2) + "╝"
-        self.stream.write(
-            f"\x1b[4F\x1b[0J{self._msg}\n{top}\n║ {bar} ║\n{bot}\n"
-        )
-        self.stream.flush()
+        with self._render_lock:
+            self.stream.write(
+                f"\x1b[4F\x1b[0J{self._msg}\n{top}\n║ {bar} ║\n{bot}\n"
+            )
+            self.stream.flush()
 
     def _run(self):
         while True:

@@ -198,6 +198,124 @@ def test_parallel_decode_fuzz_vs_serial():
         assert np.array_equal(out_p, out_s), f"mismatch at size={arr.size}"
 
 
+def _adversarial_fsm_tables():
+    """Synthetic byte-FSM with an unreachable edge, shaped so a chunk's
+    speculative guess walk hits a SPURIOUS invalid before its sync point.
+    States: 0 and 1. byte 0: emit 'A', ->0 (valid everywhere). byte 1:
+    invalid from state 0, emits 'B' ->0 from state 1. byte 2: 'C' ->1 from
+    state 0, 'D' ->0 from state 1."""
+    nxt = np.zeros((2, 256), np.uint8)
+    cnt = np.ones((2, 256), np.int8)
+    syms = np.zeros((2, 256, 8), np.uint8)
+    syms[:, :, 0] = ord("A")
+    cnt[0, 1] = -1
+    syms[1, 1, 0] = ord("B")
+    syms[0, 2, 0] = ord("C")
+    nxt[0, 2] = 1
+    syms[1, 2, 0] = ord("D")
+    return nxt, cnt, syms
+
+
+def test_fsm8_parallel_rejects_post_sync_corruption():
+    """Regression: the chunk decoder tracked only the FIRST invalid
+    transition of each speculative walk, so a spurious pre-sync invalid
+    masked a real post-sync one and corruption was silently accepted (with
+    fabricated symbols and a passing end-byte invariant). Layout: chunk 1
+    enters in state 1 (true) but guesses state 0; its first byte is a
+    spurious invalid on the guess walk (sync lands one byte later), and a
+    second `1` byte deeper in the chunk is invalid on the TRUE path."""
+    nxt, cnt, syms = _adversarial_fsm_tables()
+    cb = runtime.FSM8_CHUNK_BYTES
+    chunk0 = bytes([0]) * (cb - 1) + bytes([2])  # exit state 1
+    chunk1 = bytearray(bytes([1]) + bytes([0]) * (cb - 1))
+    chunk1[1000] = 1  # state is 0 here on the true path -> invalid edge
+    chunk2 = bytes([0]) * cb
+    body = chunk0 + bytes(chunk1) + chunk2
+    n_symbols = len(body) - 1  # all bytes emit 1 except the true invalid
+    with pytest.raises(ValueError, match="invalid bitstream"):
+        runtime.fsm8_decode_parallel(body, nxt, cnt, syms, n_symbols)
+
+    # Positive control: the same layout minus the post-sync invalid decodes
+    # fine — the pre-sync invalid is spurious (guess-only) and must NOT
+    # cause a rejection.
+    chunk1[1000] = 0
+    body_ok = chunk0 + bytes(chunk1) + chunk2
+    out, end_byte = runtime.fsm8_decode_parallel(
+        body_ok, nxt, cnt, syms, len(body_ok)
+    )
+    assert end_byte == len(body_ok) - 1
+    expect = (
+        b"A" * (cb - 1) + b"C" + b"B" + b"A" * (cb - 1) + b"A" * cb
+    )
+    assert out.tobytes() == expect
+
+
+def test_fsm8_parallel_vs_serial_corruption_consistency(midsummer):
+    """Accept/reject and bytes must match the serial LUT walk (+ exact-bit
+    invariant) on corrupted multi-chunk streams: the parallel FSM decoder
+    must never be *less* strict than the serial anchor."""
+    from entreepy_tpu.format import build_decode_lut, compress_host, parse_header
+    from entreepy_tpu.format.fsm8 import build_byte_fsm
+    from entreepy_tpu.format.hostcodec import _check_end_byte, _check_stream_bits
+
+    lib = runtime._load()
+    data = midsummer * 6  # ~675 KB -> ~6 chunks of 64 KiB body
+    et = compress_host(data)
+    hdr = parse_header(et)
+    body = bytearray(et[hdr.body_start :])
+    fsm = build_byte_fsm(hdr.table)
+    lut = build_decode_lut(hdr.table)
+    lut_c = np.ascontiguousarray(lut.flat, np.int32)
+    rng = np.random.default_rng(1234)
+    for _ in range(8):
+        pos = int(rng.integers(0, len(body)))
+        old = body[pos]
+        body[pos] ^= int(rng.integers(1, 256))
+        padded = np.zeros(len(body) + 16, np.uint8)
+        padded[: len(body)] = np.frombuffer(bytes(body), np.uint8)
+        out_s = np.empty(hdr.body_len, np.uint8)
+        rs = lib.et_unpack_body(
+            padded, len(body), lut_c, lut.lookup_bits, out_s, hdr.body_len
+        )
+        serial_ok = rs == hdr.body_len
+        if serial_ok:
+            try:
+                _check_stream_bits(out_s, hdr.table.lengths, len(body))
+            except ValueError:
+                serial_ok = False
+        par_ok, par_out = True, None
+        try:
+            out, end_byte = runtime.fsm8_decode_parallel(
+                bytes(body), fsm.next_state, fsm.counts, fsm.syms, hdr.body_len
+            )
+            _check_end_byte(end_byte, len(body), hdr.body_len)
+            par_out = out.tobytes()
+        except ValueError:
+            par_ok = False
+        assert par_ok == serial_ok, f"verdicts diverge at corrupt pos {pos}"
+        if par_ok:
+            assert par_out == out_s.tobytes()
+        body[pos] = old
+
+
+def test_pack_sized_underclaimed_bits_raises():
+    """Regression: an under-sized per-block bit claim must raise, not write
+    past the output buffer."""
+    from entreepy_tpu.format import build_code_table
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=600_000, dtype=np.uint8)
+    counts_blocks = runtime.histogram_blocks(arr)
+    table = build_code_table(counts_blocks.sum(axis=0))
+    block_bits = counts_blocks @ table.lengths.astype(np.int64)
+    good = runtime.pack_body_sized(arr, table.codes, table.lengths, block_bits)
+    assert good is not None
+    bad_bits = block_bits.copy()
+    bad_bits[0] -= 6400  # lie: block 0 claims fewer bits than it needs
+    with pytest.raises(RuntimeError, match="exceed"):
+        runtime.pack_body_sized(arr, table.codes, table.lengths, bad_bits)
+
+
 def test_trace_env_smoke(monkeypatch, capsys, macbeth):
     monkeypatch.setenv("ENTREEPY_TRACE", "1")
     import importlib

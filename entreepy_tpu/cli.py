@@ -28,7 +28,10 @@ from .format import DegenerateInputError, FormatError
 from .utils.fmt import format_file_size
 from .utils.progress import ProgressBar
 
-HELP_TEXT = """Entreepy TPU - text compression framework
+# Byte-exact copy of the reference's help text (``main.zig:45-67``); the
+# TPU-specific additions live in a separate section appended below so the
+# reference surface stays byte-identical.
+REFERENCE_HELP_TEXT = """Entreepy - Text compression tool
 
 Usage: entreepy [options] [command] [file] [command options]
 
@@ -44,12 +47,16 @@ Commands:
 
 Command Options:
     -o, --output    output file (default: [file].et or decoded_[file])
-    --backend       force a codec backend: host | device | sharded
-                    (default: auto — sharded when >1 device is visible)
 
 Examples:
     entreepy -d c text.txt -o text.txt.et
     entreepy -ptd d text.txt.et -o decoded_text.txt
+"""
+
+HELP_TEXT = REFERENCE_HELP_TEXT + """
+TPU extensions:
+    --backend       force a codec backend: host | device | sharded
+                    (default: auto — sharded when >1 device is visible)
 """
 
 
@@ -217,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
     if opts.debug:
         if encode:
             _dump_dictionary(data)
-            print(f"bits in output: {len(out) * 8}")
+            # reference: "\nbits in output: {d}\n" after the body pack
+            # (encode.zig:320); bits_written there includes header + padding,
+            # i.e. exactly 8x the output size.
+            print(f"\nbits in output: {len(out) * 8}")
         print(f"time taken: {elapsed_us}μs")
 
     print(
@@ -228,21 +238,53 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dump_dictionary(data: bytes) -> None:
-    """-d dict dump: one ``{char} {byte} - {code bits}`` line per symbol
-    (shape of ``encode.zig:205-211``)."""
+    """-d dict dump: one ``{char} {byte} - {code bits}`` line per symbol in
+    the reference's DFS emission order (``encode.zig:205-211``: right child
+    pushed before left, so leaves print left-first — lexicographic order of
+    the code bit-strings), followed by the reference's runtime
+    prefix-collision audit (``encode.zig:221-247``)."""
     from .format import build_code_table, histogram
 
     try:
         table = build_code_table(histogram(data))
     except DegenerateInputError:
         return
-    for sym in range(256):
-        length = int(table.lengths[sym])
-        if length == 0:
-            continue
-        bits = format(int(table.codes[sym]), f"0{length}b")
-        ch = chr(sym) if 32 <= sym < 127 else "?"
-        print(f"{ch} {sym} - {bits}")
+    entries = [
+        (format(int(table.codes[s]), f"0{int(table.lengths[s])}b"), s)
+        for s in range(256)
+        if table.lengths[s] > 0
+    ]
+    for bits, sym in sorted(entries):  # lexicographic bits == DFS left-first
+        print(f"{chr(sym)} {sym} - {bits}")
+    _prefix_audit(table)
+
+
+def _prefix_audit(table) -> None:
+    """Reference-faithful O(n^2) pairwise prefix audit (``encode.zig:221-247``,
+    debug flag only there too). Never fires on a well-formed Huffman table;
+    kept user-reachable for parity — message bytes match the reference
+    (including its missing trailing newline)."""
+    present = [s for s in range(256) if table.lengths[s] > 0]
+    for i in present:
+        for j in present:
+            if i == j:
+                continue
+            len_i, len_j = int(table.lengths[i]), int(table.lengths[j])
+            code_i, code_j = int(table.codes[i]), int(table.codes[j])
+            shorter = min(len_i, len_j)
+            is_prefix = True
+            for k in range(shorter + 1):
+                # the reference truncates the shift to u5 (k=0 compares the
+                # bit above the code's MSB, i.e. always 0 == 0 unless len=32)
+                bit_i = (code_i >> ((len_i - k) & 31)) & 1
+                bit_j = (code_j >> ((len_j - k) & 31)) & 1
+                if bit_i != bit_j:
+                    is_prefix = False
+                    break
+            if is_prefix:
+                sys.stdout.write(
+                    f"Found colliding prefix codes for {i} {chr(i)} and {j} {chr(j)}"
+                )
 
 
 if __name__ == "__main__":

@@ -108,6 +108,68 @@ def test_cli_debug_output(tmp_path, tiny_text):
     assert " - " in out  # dictionary lines
 
 
+def test_cli_help_text_reference_bytes(tmp_path):
+    """The help text opens with a byte-exact copy of the reference's
+    (``main.zig:45-67``); TPU-only additions follow in a separate section."""
+    from entreepy_tpu.cli import HELP_TEXT, REFERENCE_HELP_TEXT
+
+    expected = (
+        "Entreepy - Text compression tool\n"
+        "\n"
+        "Usage: entreepy [options] [command] [file] [command options]\n"
+        "\n"
+        "Options:\n"
+        "    -h, --help     show help\n"
+        "    -p, --print    print decompressed text to stdout\n"
+        "    -t, --test     test/dry run, does not write to file\n"
+        "    -d, --debug    print huffman code dictionary and performance times to stdout\n"
+        "\n"
+        "Commands:\n"
+        "    c    compress a file\n"
+        "    d    decompress a file\n"
+        "\n"
+        "Command Options:\n"
+        "    -o, --output    output file (default: [file].et or decoded_[file])\n"
+        "\n"
+        "Examples:\n"
+        "    entreepy -d c text.txt -o text.txt.et\n"
+        "    entreepy -ptd d text.txt.et -o decoded_text.txt\n"
+    )
+    assert REFERENCE_HELP_TEXT == expected
+    assert HELP_TEXT.startswith(expected)
+    r = run_cli([], tmp_path)
+    assert r.returncode == 0
+    assert r.stdout.decode().startswith(expected)
+
+
+def test_cli_error_message_reference_text(capsys):
+    """Error message bodies match the reference's (``main.zig:112-134``):
+    'invalid option: {arg}' / 'invalid command: {arg}', whole-arg even for
+    clustered flags."""
+    assert main(["-pz", "c", "x"]) == 1
+    assert "invalid option: -pz" in capsys.readouterr().err
+    assert main(["--bogus"]) == 1
+    assert "invalid option: --bogus" in capsys.readouterr().err
+    assert main(["compress", "x"]) == 1
+    assert "invalid command: compress" in capsys.readouterr().err
+
+
+def test_cli_debug_dump_dfs_order(tmp_path):
+    """-d dict dump lines appear in the reference's DFS emission order
+    (left-first == lexicographic code order) with raw symbol chars."""
+    src = tmp_path / "t.txt"
+    src.write_bytes(b"aaaabbbcc d")
+    r = run_cli(["-td", "c", str(src)], tmp_path)
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.decode().splitlines() if " - " in l]
+    codes = [l.rsplit(" - ", 1)[1] for l in lines]
+    assert codes == sorted(codes)  # lexicographic == DFS left-first
+    syms = [l.rsplit(" - ", 1)[0] for l in lines]
+    for s in syms:
+        ch, num = s[0], s[2:]  # "{char} {byte}" — char may be a space
+        assert ord(ch) == int(num)  # raw char, not a placeholder
+
+
 def test_cli_corrupt_input(tmp_path):
     bad = tmp_path / "bad.et"
     bad.write_bytes(b"this is not an et file at all")

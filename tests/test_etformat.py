@@ -98,6 +98,17 @@ def test_golden_et_fixture(macbeth):
     assert decompress_host(golden) == macbeth
 
 
+def test_golden_et_fixtures_all_corpora():
+    """Self-generated golden .et bytes for the reference's other two corpora
+    (``test.zig:35-72`` round-trips all three): pins the exact wire bytes so
+    encoder regressions cannot slip silently on any fixture."""
+    for name in ("test", "a_midsummer_nights_dream"):
+        data = (Path(__file__).parent / f"data/{name}.txt").read_bytes()
+        golden = (Path(__file__).parent / f"data/{name}.et").read_bytes()
+        assert compress_host(data) == golden, name
+        assert decompress_host(golden) == data, name
+
+
 def test_parse_header_fields(macbeth):
     et = compress_host(macbeth)
     hdr = parse_header(et)

@@ -88,10 +88,7 @@ def decompress(et: bytes, *, backend: str | None = None, progress=None) -> bytes
         tick(90, "Writing decoded text...")
         return out
     if choice == "device":
-        if os.environ.get("ENTREEPY_FSM") == "nibble":  # gen-1 escape hatch
-            from .ops.decode import decompress_device
-        else:
-            from .ops.decode8 import decompress_device
+        from .ops.decode8 import decompress_device
 
         tick(20, "Decoding text...")
         out = decompress_device(et)

@@ -1,6 +1,6 @@
 """Byte-granularity Huffman decode FSM — one MXU step per compressed byte.
 
-Second-generation decode table (the nibble FSM in fsm.py is the first): the
+Second-generation decode table (gen-1 was a nibble FSM, removed in 0.3): the
 state machine consumes a whole byte per transition, so a stream of N
 compressed bytes costs N sequential steps instead of 2N. The reference
 decoder probes a hash map per candidate code length per symbol
@@ -35,7 +35,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .fsm import _build_trie
 from .huffman import CodeTable
 
 BYTE_BITS = 8
@@ -71,6 +70,34 @@ class ByteFsm:
         """float32[S, 256] next-state matrix for one-hot matmuls (values
         <= 255 -> exact in bf16)."""
         return self.next_state.astype(np.float32)
+
+
+def _build_trie(table: CodeTable) -> tuple[np.ndarray, np.ndarray]:
+    """Binary trie of the code table.
+
+    Returns (children int32[n_int, 2], leaf_sym int32[n_int, 2]) where
+    children[s, b] >= 0 is the internal node reached from s on bit b,
+    or -1 when that edge lands on a leaf; leaf_sym[s, b] is that leaf's
+    symbol (or -1). Node 0 is the root.
+    """
+    children = [[-1, -1]]
+    leaf_sym = [[-1, -1]]
+    present = np.flatnonzero(table.lengths > 0)
+    for sym in present.tolist():
+        length = int(table.lengths[sym])
+        code = int(table.codes[sym])
+        node = 0
+        for i in range(length - 1):
+            bit = (code >> (length - 1 - i)) & 1
+            nxt = children[node][bit]
+            if nxt < 0:
+                children.append([-1, -1])
+                leaf_sym.append([-1, -1])
+                nxt = len(children) - 1
+                children[node][bit] = nxt
+            node = nxt
+        leaf_sym[node][code & 1] = sym
+    return np.asarray(children, np.int32), np.asarray(leaf_sym, np.int32)
 
 
 _FSM_CACHE: dict[bytes, ByteFsm] = {}
@@ -142,6 +169,28 @@ def _build_byte_fsm(table: CodeTable) -> ByteFsm:
         max_len=table.max_len,
         min_len=table.min_len,
     )
+
+
+def expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int]:
+    """Expand-table for on-device symbol emission (ops/decode8.py
+    ``expand_states_device``): float32[256, (m+2)*S] where m = the table's
+    max symbols-per-byte. S-wide column blocks, selected by the (known,
+    precomputed) state after one ``onehot(byte) @ T`` matmul:
+
+    * block 0 — clamped symbol counts (invalid -> 0)
+    * block 1 — invalid-transition flags (0/1)
+    * block 2+j — symbol slot j (0 beyond the transition's count)
+
+    Every value <= 255, so bf16 one-hot matmuls are exact.
+    """
+    m = max(1, int(fsm.counts.max(initial=1)))
+    s = fsm.width
+    t = np.zeros((BYTE_FANOUT, (m + 2) * s), np.float32)
+    t[:, 0:s] = np.maximum(fsm.counts, 0).astype(np.float32).T
+    t[:, s : 2 * s] = (fsm.counts < 0).astype(np.float32).T
+    for j in range(m):
+        t[:, (2 + j) * s : (3 + j) * s] = fsm.syms[:, :, j].astype(np.float32).T
+    return t, m
 
 
 def fsm8_decode_host(fsm: ByteFsm, data: np.ndarray, state: int = 0):

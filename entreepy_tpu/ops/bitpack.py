@@ -118,6 +118,100 @@ def pack_blocks_scan(
 pack_blocks_jit = jax.jit(pack_blocks_scan)
 
 
+@jax.jit
+def emitted_counts(emitted: jax.Array) -> jax.Array:
+    """Per-lane emitted-word counts — the tiny (4 B/block) fetch that sizes
+    the compact payload before :func:`compact_payload_device` traces."""
+    return jnp.sum(emitted.astype(jnp.int32), axis=1)
+
+
+CAP_ROUND = 64  # payload columns round up to this (bounds jit recompiles)
+
+
+def payload_cap(max_count: int, steps: int) -> int:
+    """Static payload width for compact_payload_device: covers every lane's
+    words + the final partial word, rounded to CAP_ROUND columns."""
+    return min(-(-(max_count + 2) // CAP_ROUND) * CAP_ROUND, steps + 2)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_payload_device(words, emitted, acc, nbits, cap: int):
+    """Device-side stream compaction of the dense emission slots.
+
+    Replaces host compaction on the device/sharded encode paths so only
+    ~compressed bytes cross D2H (and DCN under multi-host) instead of the
+    4 B-per-input-byte dense slots. TPU-native formulation: scatters
+    serialize on TPU, so the compaction is a per-lane stable SORT — emitted
+    words get keys 0..count-1 (their compact position), holes sort to the
+    back — which XLA lowers to a vectorized sorting network. The final
+    partial word then lands at column ``count`` via a one-hot OR.
+
+    Returns (payload uint32[lanes, cap], bit_lens int32[lanes]) — exactly
+    the rows ``assemble_payloads`` builds on host. ``cap`` must exceed every
+    lane's emitted count (size it with :func:`emitted_counts` +
+    :func:`payload_cap`).
+    """
+    lanes, steps = words.shape
+    e = emitted.astype(jnp.int32)
+    cum = jnp.cumsum(e, axis=1)
+    counts = cum[:, -1]
+    iota = jnp.arange(steps, dtype=jnp.int32)[None, :]
+    key = jnp.where(emitted, cum - 1, steps + iota)
+    vals = jnp.where(emitted, jax.lax.bitcast_convert_type(words, jnp.int32), 0)
+    _, sorted_vals = jax.lax.sort_key_val(key, vals, dimension=1)
+    take = min(cap, steps)
+    payload = sorted_vals[:, :take]
+    if cap > steps:
+        payload = jnp.pad(payload, ((0, 0), (0, cap - steps)))
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    acc_i = jax.lax.bitcast_convert_type(acc, jnp.int32)
+    payload = payload | jnp.where(j == counts[:, None], acc_i[:, None], 0)
+    bit_lens = counts * 32 + nbits
+    return jax.lax.bitcast_convert_type(payload, jnp.uint32), bit_lens
+
+
+FLAT_ROUND = 4096  # flat payload words round up to this (16 KiB granularity)
+
+
+def flat_cap(total_words: int, round_to: int = FLAT_ROUND) -> int:
+    """Static flat-payload length covering ``total_words`` (= sum of every
+    lane's emitted count + one partial word per lane)."""
+    return max(round_to, -(-total_words // round_to) * round_to)
+
+
+@partial(jax.jit, static_argnames=("cap", "cap_total"))
+def compact_payload_flat(words, emitted, acc, nbits, cap: int, cap_total: int):
+    """Two-stage device compaction to ONE flat word stream.
+
+    Stage 1 (:func:`compact_payload_device`): per-lane sort -> [lanes, cap]
+    rows (emitted words in order, final partial word at column ``count``).
+    Stage 2: a 1-D sort over the [lanes*cap] grid packs each lane's leading
+    ``count+1`` words into a single flat array in lane order — so the
+    fetched volume is the compressed stream + one rounding, independent of
+    lane-count bucketing and per-lane cap slack.
+
+    Returns (flat uint32[cap_total], nwords int32[lanes] = count+1 per lane,
+    bit_lens int32[lanes]). Lane l's words live at
+    ``flat[sum(nwords[:l]) : sum(nwords[:l+1])]``.
+    """
+    payload, bit_lens = compact_payload_device(words, emitted, acc, nbits, cap)
+    lanes = words.shape[0]
+    nwords = (bit_lens - nbits) // 32 + 1  # emitted count + the partial word
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = (j < nwords[:, None]).reshape(-1)
+    n = lanes * cap
+    gcum = jnp.cumsum(live.astype(jnp.int32))
+    gi = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(live, gcum - 1, n + gi)
+    vals = jnp.where(live, jax.lax.bitcast_convert_type(payload, jnp.int32).reshape(-1), 0)
+    _, svals = jax.lax.sort_key_val(key, vals)
+    take = min(cap_total, n)
+    flat = svals[:take]
+    if cap_total > n:
+        flat = jnp.pad(flat, (0, cap_total - n))
+    return jax.lax.bitcast_convert_type(flat, jnp.uint32), nwords, bit_lens
+
+
 def assemble_payloads(
     words: np.ndarray, emitted: np.ndarray, acc: np.ndarray, nbits: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1,8 +1,8 @@
 """Chunk-parallel Huffman decode, byte-granularity FSM (second generation).
 
-Replaces the nibble FSM scan (ops/decode.py) as the default device decode:
-half the sequential steps, ~10x less device->host traffic, and an exact
-corrupt-stream error. The reference's serial hot loop is
+Replaced the gen-1 nibble FSM scan (removed in 0.3 — see git history)
+with half the sequential steps, ~10x less device->host traffic, and an
+exact corrupt-stream error. The reference's serial hot loop is
 ``decode.zig:143-203`` (~0.44 MB/s); design here:
 
 1. The body splits into fixed-size byte chunks; chunk := one vector lane.
@@ -233,6 +233,176 @@ def decode_body_device(
         return out
     with phase("device_fetch_expand", n_symbols):
         return expand_states(np.asarray(states), buf, fsm, n_symbols)
+
+
+def validate_chunk_meta(counts: np.ndarray, w_inv: np.ndarray, n_symbols: int) -> None:
+    """Serial-exact accept/reject from per-chunk metadata: ``counts[c]`` =
+    symbols chunk c emits, ``w_inv[c]`` = symbols emitted before chunk c's
+    FIRST invalid transition (-1 if none). An invalid transition raises iff
+    it is consumed — i.e. lies at-or-before the byte where the n_symbols-th
+    symbol completes — matching :func:`expand_states` / the serial walk."""
+    total = int(counts.sum())
+    if total < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {total} of {n_symbols} symbols"
+        )
+    starts = np.cumsum(counts) - counts
+    if bool(((w_inv >= 0) & (starts + w_inv < n_symbols)).any()):
+        raise ValueError("invalid bitstream: unreachable trie edge")
+
+
+@partial(jax.jit, static_argnames=("m",))
+def expand_pass_device(cols, states, t_exp, n_valid, m: int):
+    """Per-byte symbol emission ON DEVICE (no serial chain: states are the
+    decode passes' precomputed output, so every byte's lookup is independent
+    and the matmuls batch freely on the MXU).
+
+    cols/states: int32/uint8[lanes, K]; t_exp: bf16[256, (m+2)*S] from
+    ``format.fsm8.expand_tensors``; n_valid: total real body bytes.
+    Returns (counts int32[K, lanes], inv bool[K, lanes], syms uint8
+    [K, lanes, m]) — dense slots, compacted by
+    :func:`compact_symbols_device`.
+    """
+    lanes, k = cols.shape
+    s = t_exp.shape[1] // (m + 2)
+    s_iota = jnp.arange(s, dtype=jnp.int32)
+    b_iota = jnp.arange(256, dtype=jnp.int32)
+
+    def step(_, x):
+        byte, st = x  # [lanes] each
+        oh_b = (byte[:, None] == b_iota[None, :]).astype(jnp.bfloat16)
+        tmp = jnp.dot(oh_b, t_exp, preferred_element_type=jnp.float32)
+        mask = (st[:, None] == s_iota[None, :]).astype(jnp.float32)
+        vals = jnp.sum(tmp.reshape(lanes, m + 2, s) * mask[:, None, :], axis=2)
+        return None, vals  # [lanes, m+2]
+
+    _, vals = jax.lax.scan(step, None, (cols.T, states.T.astype(jnp.int32)))
+    # real-byte mask: lane l's byte k sits at absolute offset l*K + k
+    pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
+        k, dtype=jnp.int32
+    )[:, None]
+    real = pos < n_valid
+    counts = jnp.where(real, vals[..., 0].astype(jnp.int32), 0)
+    inv = jnp.logical_and(real, vals[..., 1] > 0)
+    syms = vals[..., 2:].astype(jnp.uint8)
+    return counts, inv, syms
+
+
+@partial(jax.jit, static_argnames=("m", "cap_sym", "cap_total"))
+def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int, cap_total: int):
+    """Dense per-byte symbol slots -> ONE flat device-side symbol stream.
+
+    Same two-stage sort compaction as the encoder's payload (scatters
+    serialize on TPU; sorts vectorize): stage 1 packs each lane's symbols
+    to the row front ([lanes, K*m] keys = per-lane stream position), stage
+    2 packs the lanes' streams back to back, so ``flat[:n_symbols]`` IS the
+    decoded output. Also returns per-lane totals and first-invalid offsets
+    for :func:`validate_chunk_meta`.
+    """
+    k, lanes = counts.shape
+    big = jnp.int32(1 << 30)
+    cumk = jnp.cumsum(counts, axis=0) - counts  # symbols before byte k, per lane
+    lane_tot = cumk[-1] + counts[-1]
+    w_inv = jnp.where(inv, cumk, big).min(axis=0)  # [lanes]
+
+    j = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    key = jnp.where(j < counts[..., None], cumk[..., None] + j, big)
+    key2 = key.transpose(1, 0, 2).reshape(lanes, k * m)
+    val2 = jnp.where(
+        key2 < big, syms.transpose(1, 0, 2).reshape(lanes, k * m).astype(jnp.int32), 0
+    )
+    _, sv = jax.lax.sort_key_val(key2, val2, dimension=1)
+    take = min(cap_sym, k * m)
+    plane = sv[:, :take]
+    if cap_sym > k * m:
+        plane = jnp.pad(plane, ((0, 0), (0, cap_sym - k * m)))
+
+    jj = jnp.arange(cap_sym, dtype=jnp.int32)[None, :]
+    live = (jj < lane_tot[:, None]).reshape(-1)
+    n = lanes * cap_sym
+    gcum = jnp.cumsum(live.astype(jnp.int32))
+    gi = jnp.arange(n, dtype=jnp.int32)
+    gkey = jnp.where(live, gcum - 1, n + gi)
+    gval = jnp.where(live, plane.reshape(-1), 0)
+    _, flat = jax.lax.sort_key_val(gkey, gval)
+    take2 = min(cap_total, n)
+    out = flat[:take2].astype(jnp.uint8)
+    if cap_total > n:
+        out = jnp.pad(out, (0, cap_total - n))
+    return out, lane_tot, w_inv
+
+
+def decode_body_device_full(
+    body: bytes | np.ndarray,
+    table: CodeTable,
+    n_symbols: int,
+    *,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    fsm: ByteFsm | None = None,
+) -> np.ndarray:
+    """End-to-end ON-DEVICE decode: FSM passes -> device symbol expansion ->
+    device compaction; the host only fetches tiny per-lane metadata and the
+    final flat symbol stream (= the decompressed bytes). This is the
+    pod-scaling path — the default :func:`decode_body_device` keeps the
+    (faster-on-this-host) C++ expansion; reference counterpart
+    ``decode.zig:143-203``.
+    """
+    if n_symbols == 0:
+        return np.zeros(0, dtype=np.uint8)
+    from ..format.fsm8 import expand_tensors
+    from ..utils.trace import phase
+    from .bitpack import flat_cap
+
+    fsm = fsm or build_byte_fsm(table)
+    buf = (
+        np.frombuffer(body, dtype=np.uint8)
+        if isinstance(body, (bytes, bytearray, memoryview))
+        else np.asarray(body, dtype=np.uint8)
+    )
+    n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    lanes = _pad_lanes(n_real_lanes) if _use_pallas() else n_real_lanes
+    padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
+    padded[: buf.size] = buf
+    with phase("device_fsm8_decode", n_symbols):
+        cols = bytes_to_cols(padded, lanes, chunk_bytes)
+        decode_fn = select_fsm8_decoder()
+        states, unconverged = decode_fn(cols, _table_T_bf16(fsm), jnp.int32(n_real_lanes))
+    if bool(unconverged):
+        from .. import format as _fmt
+        from ..format.hostcodec import _check_stream_bits
+
+        lut = _fmt.build_decode_lut(table)
+        out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+        _check_stream_bits(out, table.lengths, buf.size)
+        return out
+    t_np, m = expand_tensors(fsm)
+    t_exp = jnp.asarray(t_np, jnp.bfloat16)
+    with phase("device_expand", n_symbols):
+        counts, inv, syms = expand_pass_device(
+            cols, states, t_exp, jnp.int32(buf.size), m
+        )
+        lane_tot_host = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch
+        cap_sym = min(
+            -(-int(lane_tot_host.max(initial=1)) // 256) * 256, chunk_bytes * m
+        )
+        cap_total = flat_cap(int(lane_tot_host.sum()))
+        flat, lane_tot, w_inv = compact_symbols_device(
+            counts, inv, syms, m, cap_sym, cap_total
+        )
+    with phase("device_sym_fetch", n_symbols):
+        counts_np = np.asarray(lane_tot, dtype=np.int64)
+        w_inv_np = np.asarray(w_inv, dtype=np.int64)
+        w_inv_np[w_inv_np >= (1 << 30)] = -1
+        validate_chunk_meta(counts_np, w_inv_np, n_symbols)
+        out = np.asarray(flat[:n_symbols] if cap_total >= n_symbols else flat)
+    if out.size < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
+        )
+    from ..format.hostcodec import _check_stream_bits
+
+    _check_stream_bits(out, table.lengths, buf.size)
+    return out
 
 
 def decompress_device(et: bytes, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> bytes:

@@ -7,7 +7,9 @@ Pipeline (TPU-first redesign of ``encode.zig:25-337``):
 2. host:   exact deterministic code construction (tiny — 256 symbols)
 3. device: block-parallel scan bit-pack (MXU one-hot code lookup + 64-bit
            accumulator per lane, dense word emission — ops/bitpack.py)
-4. host:   compact emitted words, bit-granular stitch, header serialization
+4. device: sort-based stream compaction (compact_payload_device) so only
+           ~compressed bytes cross D2H
+5. host:   bit-granular stitch, header serialization
 
 Block size here is a device-efficiency knob only — the stitched .et output
 is byte-identical for every block size (and to the host codec / reference).
@@ -19,13 +21,16 @@ import numpy as np
 
 from ..format.etformat import serialize_header
 from ..format.huffman import CodeTable, build_code_table
-from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
+from ..utils.stitch import split_blocks, stitch_flat_payload, words_to_bytes
 from .bitpack import (
     HIST_COLS,
-    assemble_payloads,
     code_table_cols,
+    compact_payload_flat,
+    emitted_counts,
+    flat_cap,
     histogram_device,
     pack_blocks_jit,
+    payload_cap,
 )
 
 DEFAULT_BLOCK_BYTES = 4096  # scan length; lanes = input_size / block_bytes
@@ -53,9 +58,10 @@ def encode_blocks_device(
 ):
     """Pack ``arr`` (uint8[n]) block-parallel on device.
 
-    Returns (payload uint32[n_blocks, cap_words] numpy, bit_lens int64).
-    Stitching is left to the caller so multi-device paths can reuse this per
-    shard.
+    Returns (flat uint32 numpy — every block's compacted words back to back,
+    nwords int64[n_blocks] — words per block incl. the final partial one,
+    bit_lens int64[n_blocks]). Stitching is left to the caller so
+    multi-device paths can reuse this per shard.
     """
     import jax.numpy as jnp
 
@@ -70,7 +76,7 @@ def encode_blocks_device(
 
     codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
     pack = pack_blocks_jit
-    from .decode import _use_pallas
+    from .decode8 import _use_pallas
 
     if _use_pallas():
         try:  # fused kernel needs tile-compatible shapes
@@ -83,8 +89,19 @@ def encode_blocks_device(
     words, emitted, acc, nbits = pack(
         jnp.asarray(blocks_np), jnp.asarray(valid_np), codetbl
     )
-    return assemble_payloads(
-        np.asarray(words), np.asarray(emitted), np.asarray(acc), np.asarray(nbits)
+    # Compact ON DEVICE: only the per-block counts (4 B/block) and the
+    # ~compressed-size flat payload cross D2H, not the 4 B-per-input-byte
+    # dense slots.
+    counts = np.asarray(emitted_counts(emitted))
+    cap = payload_cap(int(counts.max(initial=0)), block_bytes)
+    cap_total = flat_cap(int(counts.sum()) + counts.size)
+    flat, nwords, bit_lens = compact_payload_flat(
+        words, emitted, acc, nbits, cap, cap_total
+    )
+    return (
+        np.asarray(flat),
+        np.asarray(nwords, dtype=np.int64),
+        np.asarray(bit_lens, dtype=np.int64),
     )
 
 
@@ -100,7 +117,7 @@ def compress_device(
     with phase("code_table"):
         table = build_code_table(counts, strict=strict)
     with phase("device_pack", arr.size):
-        payload, bit_lens = encode_blocks_device(arr, table, block_bytes)
+        flat, nwords, bit_lens = encode_blocks_device(arr, table, block_bytes)
     with phase("stitch"):
-        words, total_bits = stitch_payload(payload, bit_lens)
+        words, total_bits = stitch_flat_payload(flat, nwords, bit_lens)
     return serialize_header(table, arr.size) + words_to_bytes(words, total_bits)

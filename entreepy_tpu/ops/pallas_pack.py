@@ -6,7 +6,7 @@ Mosaic program: the code table lives in VMEM, the 64-bit accumulator state
 is one [256, 5] x [256, lanes] contraction (code length + four 8-bit code
 limbs — every table value <= 255, so bf16 accumulation is exact).
 
-Same Mosaic constraints as pallas_fsm.py: everything 2-D, transposed one-hot
+Same Mosaic constraints as pallas_fsm8.py: everything 2-D, transposed one-hot
 via broadcast compare, `pl.ds` row slicing, int32 bit patterns with
 `shift_right_logical` standing in for uint32 shifts (bitcast at the wrapper).
 """

@@ -6,7 +6,10 @@ future work, its README's "block based parallel decoding"):
 1. local byte histogram per shard -> ``psum`` over the mesh (replicated counts)
 2. host builds the exact code table (tiny), replicates codes/lengths
 3. every device scan-packs its blocks locally (``pack_blocks_scan``)
-4. per-block bit lengths gather to host; payload shards stitch in order
+4. every device compacts its own dense emission slots (per-lane sort —
+   shard-local, no collectives), so only ~compressed-size
+   (payload, bit_lens) rows ever cross D2H/DCN
+5. compact payload rows gather; the host stitches them in block order
 
 Decode: FSM chunks (lanes) shard across devices; the self-sync fixed-point
 loop runs *inside* jit with a tiled ``all_gather`` of per-chunk exit states
@@ -32,7 +35,14 @@ from jax import shard_map
 from ..format.etformat import parse_header, serialize_header
 from ..format.fsm8 import build_byte_fsm
 from ..format.huffman import build_code_table
-from ..ops.bitpack import assemble_payloads, code_table_cols, pack_blocks_scan
+from ..ops.bitpack import (
+    code_table_cols,
+    compact_payload_flat,
+    emitted_counts,
+    flat_cap,
+    pack_blocks_scan,
+    payload_cap,
+)
 from ..ops.decode8 import (
     DEFAULT_CHUNK_BYTES,
     MAX_SYNC_PASSES,
@@ -44,10 +54,14 @@ from ..ops.decode8 import (
     expand_states,
 )
 from ..ops.pallas_fsm8 import LANE_TILE
-from ..utils.stitch import split_blocks, stitch_payload, words_to_bytes
+from ..utils.stitch import split_blocks, stitch_flat_payload, words_to_bytes
 from .mesh import BLOCK_AXIS, make_mesh
 
 DEFAULT_BLOCK_BYTES = 4096
+
+# Diagnostics from the last compress_sharded call (tests assert the encode
+# fetch volume tracks the compressed size, not the input size).
+last_encode_stats: dict = {}
 
 
 def _bucket(n: int) -> int:
@@ -143,6 +157,19 @@ def compress_sharded(
     arr = np.frombuffer(data, dtype=np.uint8)
     blocks_np, valid_np = _shard_blocks(arr, block_bytes, n_dev)
 
+    # Interleave blocks round-robin over shards: the real blocks (the lane
+    # bucketing pads with empties at the end) spread evenly, so every
+    # shard's compact flat payload is ~equally full and the SPMD-equal
+    # per-shard cap carries no dead weight. lane l of shard d holds block
+    # l*n_dev + d; the stitch below maps back to block order.
+    lanes = blocks_np.shape[0]
+    lanes_local = lanes // n_dev
+    d_of = np.arange(lanes) // lanes_local
+    j_of = np.arange(lanes) % lanes_local
+    lane_to_block = j_of * n_dev + d_of  # inverse of block -> lane
+    blocks_np = blocks_np[lane_to_block]
+    valid_np = valid_np[lane_to_block]
+
     blocks = jnp.asarray(blocks_np)
     valid = jnp.asarray(valid_np)
 
@@ -151,11 +178,61 @@ def compress_sharded(
     codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
 
     words, emitted, acc, nbits = _pack_fn(mesh, axis)(blocks, valid, codetbl)
-    payload, bit_lens = assemble_payloads(
-        _fetch(words), _fetch(emitted), _fetch(acc), _fetch(nbits)
+    # Compact ON DEVICE, shard-local (no collectives): the dense
+    # 4 B-per-input-byte slots never leave the chips. Off-device movement is
+    # the per-block counts (4 B/block), then each shard's ~compressed-size
+    # flat payload + per-block word counts/bit lengths.
+    counts = _fetch(emitted_counts(emitted))
+    per_shard = counts.reshape(n_dev, lanes_local)
+    cap = payload_cap(int(counts.max(initial=0)), block_bytes)
+    cap_total_local = flat_cap(
+        int((per_shard.sum(axis=1) + lanes_local).max()), round_to=1024
     )
-    words_out, total_bits = stitch_payload(payload, bit_lens)
+    flat, nwords, bit_lens = _compact_fn(mesh, axis, cap, cap_total_local)(
+        words, emitted, acc, nbits
+    )
+    flat_np = _fetch(flat)
+    nw = _fetch(nwords).astype(np.int64)
+    bl = _fetch(bit_lens).astype(np.int64)
+    last_encode_stats.clear()
+    last_encode_stats.update(
+        fetched_bytes=flat_np.nbytes + nw.nbytes + bl.nbytes + counts.nbytes,
+        dense_bytes=sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                        for a in (words, emitted)),
+        payload_bits=int(bl.sum()),
+    )
+    # Absolute word offsets into the fetched flat array: shard d's stream
+    # starts at d*cap_total_local; lanes are consecutive within a shard.
+    # Then undo the round-robin interleave so blocks stitch in input order.
+    nw2 = nw.reshape(n_dev, lanes_local)
+    local_offs = np.cumsum(nw2, axis=1) - nw2
+    offs_lane = (np.arange(n_dev)[:, None] * cap_total_local + local_offs).reshape(-1)
+    block_to_lane = np.empty(lanes, dtype=np.int64)
+    block_to_lane[lane_to_block] = np.arange(lanes)
+    words_out, total_bits = stitch_flat_payload(
+        flat_np, nw[block_to_lane], bl[block_to_lane], offs=offs_lane[block_to_lane]
+    )
     return serialize_header(table, arr.size) + words_to_bytes(words_out, total_bits)
+
+
+@lru_cache(maxsize=None)
+def _compact_fn(mesh: Mesh, axis: str, cap: int, cap_total_local: int):
+    """Per-shard two-stage compaction: each shard packs its own lanes' words
+    into one flat stream (shard-local — no collectives), so the only
+    off-device bytes are ~the compressed payload."""
+
+    def local(words, emitted, acc, nbits):
+        return compact_payload_flat(words, emitted, acc, nbits, cap, cap_total_local)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
 
 
 @lru_cache(maxsize=None)
@@ -281,4 +358,99 @@ def decompress_sharded(
         out = unpack_body_host(buf.tobytes(), lut, hdr.body_len)
         _check_stream_bits(out, hdr.table.lengths, buf.size)
         return out.tobytes()
+    if jax.process_count() > 1:
+        return _expand_multihost(states, buf, fsm, hdr.table, hdr.body_len, chunk_bytes)
     return expand_states(_fetch(states), buf, fsm, hdr.body_len).tobytes()
+
+
+# Diagnostics from the last multi-host expansion (the 2-process test asserts
+# the per-process D2H fetch scales as 1/N while outputs stay byte-equal).
+last_decode_stats: dict = {}
+
+
+def _expand_multihost(states, buf, fsm, table, n_symbols, chunk_bytes) -> bytes:
+    """Per-process symbol expansion: each process fetches ONLY its own
+    shards' state sequences (1/N of the compressed stream over D2H), expands
+    its chunks' symbols locally, and the full output is assembled from one
+    all-gather of (tiny per-chunk metadata, per-process symbol shards) — so
+    cross-host movement is ~the decompressed output, never N redundant
+    expansions (multihost.py's contract).
+
+    Accept/reject semantics are identical to :func:`expand_states`: an
+    invalid transition raises iff it lies at-or-before the byte where the
+    n_symbols-th symbol completes (checked via per-chunk first-invalid
+    offsets), truncation raises, and the exact-bit invariant is enforced on
+    the assembled output (``_check_stream_bits``)."""
+    from jax.experimental import multihost_utils
+
+    from ..format.hostcodec import _check_stream_bits
+
+    shards = sorted(
+        states.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    st_local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    lane0 = shards[0].index[0].start or 0
+    my_lanes, k = st_local.shape
+    lanes = states.shape[0]
+    assert lanes % my_lanes == 0, "uneven lane partition across processes"
+
+    # my chunks' body bytes (the body is replicated on every host's disk
+    # read; only the *states* ever cross D2H)
+    abs0 = lane0 * chunk_bytes
+    my_end = min(buf.size, abs0 + my_lanes * chunk_bytes)
+    n_real = max(0, my_end - abs0)
+    body_my = np.zeros(my_lanes * chunk_bytes, dtype=np.uint8)
+    if n_real:
+        body_my[:n_real] = buf[abs0:my_end]
+    st_flat = st_local.reshape(-1)
+
+    cnt = fsm.counts[st_flat, body_my].astype(np.int64)
+    cnt[n_real:] = 0  # padding bytes beyond the real stream emit nothing
+    valid_cnt = np.maximum(cnt, 0)
+    per_chunk = valid_cnt.reshape(my_lanes, chunk_bytes).sum(axis=1)
+
+    # symbols emitted before the FIRST invalid byte of each chunk (-1: none)
+    w_inv = np.full(my_lanes, -1, dtype=np.int64)
+    inv = np.flatnonzero(cnt < 0)
+    if inv.size:
+        chunks_with_inv, first_idx = np.unique(inv // chunk_bytes, return_index=True)
+        for c, i in zip(chunks_with_inv, first_idx):
+            j = inv[i]
+            w_inv[c] = int(valid_cnt[c * chunk_bytes : j].sum())
+
+    sy = fsm.syms[st_flat, body_my]  # [n, 8]
+    mask = np.arange(8, dtype=np.int64)[None, :] < cnt[:, None]
+    local_syms = sy[mask]
+
+    meta = np.stack([per_chunk, w_inv], axis=1)  # [my_lanes, 2]
+    gmeta = np.asarray(multihost_utils.process_allgather(meta, tiled=True))
+    counts_all, w_inv_all = gmeta[:, 0], gmeta[:, 1]
+    total = int(counts_all.sum())
+    if total < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {total} of {n_symbols} symbols"
+        )
+    starts = np.cumsum(counts_all) - counts_all
+    consumed_invalid = (w_inv_all >= 0) & (starts + w_inv_all < n_symbols)
+    if consumed_invalid.any():
+        raise ValueError("invalid bitstream: unreachable trie edge")
+
+    n_procs = lanes // my_lanes
+    proc_totals = counts_all.reshape(n_procs, my_lanes).sum(axis=1)
+    cap = int(proc_totals.max(initial=1))
+    padded_syms = np.zeros(cap, dtype=np.uint8)
+    padded_syms[: local_syms.size] = local_syms
+    gsyms = np.asarray(multihost_utils.process_allgather(padded_syms, tiled=True))
+    out = np.concatenate(
+        [gsyms[p * cap : p * cap + int(proc_totals[p])] for p in range(n_procs)]
+    )[:n_symbols]
+    _check_stream_bits(out, table.lengths, buf.size)
+
+    last_decode_stats.clear()
+    last_decode_stats.update(
+        fetched_states_bytes=st_local.nbytes,
+        total_states_bytes=int(states.shape[0]) * int(states.shape[1]),
+        local_symbols=int(local_syms.size),
+        n_symbols=n_symbols,
+    )
+    return out.tobytes()

@@ -6,12 +6,17 @@ as single-host (dist.py) over a mesh whose 1-D block axis spans every
 process's devices: collectives ride ICI within a slice and DCN across hosts,
 chosen by XLA from device placement.
 
-Communication per file is tiny and fixed:
+Communication per file (measured contract, tested in test_multihost.py):
 
-* encode — one ``psum`` of the 256-bin histogram (1 KB) + the per-block
-  (payload, bit-length) shards gathered to host 0 for the ordered stitch
+* encode — one ``psum`` of the 256-bin histogram (1 KB); compaction runs
+  shard-local ON DEVICE, so the only gathered encode data is each shard's
+  ~compressed-size flat payload + per-block word counts/bit lengths
+  (dist.compress_sharded; never the dense 4 B-per-input-byte slots)
 * decode — one ``all_gather`` of per-chunk exit states (1 B/chunk) per sync
-  pass; each host emits only its own chunks' symbols
+  pass; each process then fetches ONLY its own shards' state sequences
+  (1/N of the compressed bytes over D2H) and emits only its own chunks'
+  symbols; the full output assembles from one gather of tiny per-chunk
+  metadata + the per-process symbol shards (dist._expand_multihost)
 
 Usage (one process per host, standard JAX bring-up)::
 

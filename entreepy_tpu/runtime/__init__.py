@@ -122,6 +122,7 @@ def _load() -> ctypes.CDLL | None:
             ("et_histogram_blocks", None, [_u8p, _ll, _ll, _i64p, ctypes.c_int]),
             ("et_pack_parallel_sized", _ll,
              [_u8p, _ll, _u32p, _u8p, _ll, _i64p, _u8p, ctypes.c_int]),
+            ("et_stitch_flat", _ll, [_u32p, _i64p, _ll, _i64p, _u32p]),
         ):
             try:
                 fn = getattr(lib, name)
@@ -372,6 +373,21 @@ def assemble_payloads(words, emitted, acc, nbits):
     if r != 0:
         raise RuntimeError("payload capacity overflow (internal error)")
     return payload, bit_lens
+
+
+def stitch_flat(flat: np.ndarray, offs: np.ndarray, bit_lens: np.ndarray):
+    """Flat device-compacted words + per-block start offsets -> (stream
+    uint32 words, total_bits), or None if no lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_stitch_flat"):
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    offs_c = np.ascontiguousarray(offs, dtype=np.int64)
+    bl = np.ascontiguousarray(bit_lens, dtype=np.int64)
+    total = int(bl.sum())
+    out = np.zeros(total // 32 + 2, dtype=np.uint32)
+    lib.et_stitch_flat(flat, offs_c, offs_c.size, bl, out)
+    return out, total
 
 
 def stitch_words(payload: np.ndarray, bit_lens: np.ndarray):

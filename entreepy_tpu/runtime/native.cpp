@@ -209,6 +209,34 @@ long long et_stitch_words(const uint32_t* payload, long long lanes,
   return off;
 }
 
+// Like et_stitch_words but over ONE flat word array with per-block start
+// offsets (the device compaction's output layout): block l's words begin at
+// flat[offs[l]]. out: zeroed u32 array, capacity >= (sum bits + 31)/32 + 1.
+// Returns total bits.
+long long et_stitch_flat(const uint32_t* flat, const long long* offs,
+                         long long lanes, const long long* bit_lens,
+                         uint32_t* out) {
+  long long off = 0;
+  for (long long l = 0; l < lanes; ++l) {
+    const long long bl = bit_lens[l];
+    if (bl == 0) continue;
+    const uint32_t* w = flat + offs[l];
+    const long long nw = (bl + 31) >> 5;
+    long long base = off >> 5;
+    const int s = (int)(off & 31);
+    if (s == 0) {
+      for (long long i = 0; i < nw; ++i) out[base + i] |= w[i];
+    } else {
+      for (long long i = 0; i < nw; ++i) {
+        out[base + i] |= w[i] >> s;
+        out[base + i + 1] |= (uint32_t)((uint64_t)w[i] << (32 - s));
+      }
+    }
+    off += bl;
+  }
+  return off;
+}
+
 }  // extern "C" (scalar entry points)
 
 // ------------------------------------------------------------- parallel ---

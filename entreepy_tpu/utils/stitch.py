@@ -52,6 +52,26 @@ def stitch_payload(payload: np.ndarray, bit_lens) -> tuple[np.ndarray, int]:
     return stitch_words(list(payload), bit_lens)
 
 
+def stitch_flat_payload(
+    flat: np.ndarray, nwords: np.ndarray, bit_lens, offs: np.ndarray | None = None
+) -> tuple[np.ndarray, int]:
+    """Stitch the device compaction's flat layout: block l's words start at
+    ``offs[l]`` (default ``sum(nwords[:l])`` — the single-shard layout; the
+    sharded path passes shard-based offsets). Dispatches to the C++ runtime,
+    else per-block views through :func:`stitch_words`."""
+    from .. import runtime
+
+    nw = np.asarray(nwords, dtype=np.int64)
+    if offs is None:
+        offs = np.concatenate([[0], np.cumsum(nw)[:-1]])
+    offs = np.asarray(offs, dtype=np.int64)
+    native = runtime.stitch_flat(flat, offs, np.asarray(bit_lens, dtype=np.int64))
+    if native is not None:
+        return native
+    views = [flat[offs[l] : offs[l] + nw[l]] for l in range(nw.size)]
+    return stitch_words(views, bit_lens)
+
+
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
     """Big-endian u32 words -> the stream's bytes (zero-padded final byte)."""
     n_bytes = (total_bits + 7) // 8

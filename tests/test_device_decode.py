@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from entreepy_tpu.format import build_code_table, compress_host, histogram
-from entreepy_tpu.ops.decode import decode_body_device, decompress_device
+from entreepy_tpu.ops.decode8 import decode_body_device, decompress_device
 from entreepy_tpu.format import pack_body_host
 
 
@@ -14,24 +14,25 @@ def test_decompress_corpora(name, request):
     assert decompress_device(compress_host(data)) == data
 
 
-@pytest.mark.parametrize("chunk_bits", [128, 512, 4096])
-def test_chunk_size_invariance(midsummer, chunk_bits):
+@pytest.mark.parametrize("chunk_bytes", [16, 64, 512])
+def test_chunk_size_invariance(midsummer, chunk_bytes):
     # Output must not depend on the chunking; small chunks force many
     # sync passes and cross-chunk codeword straddles.
-    assert decompress_device(compress_host(midsummer), chunk_bits=chunk_bits) == midsummer
+    assert decompress_device(compress_host(midsummer), chunk_bytes=chunk_bytes) == midsummer
 
 
 def test_decode_random_bytes():
     rng = np.random.default_rng(2)
     for size in (2, 100, 4097, 50000):
         data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-        assert decompress_device(compress_host(data), chunk_bits=512) == data
+        assert decompress_device(compress_host(data), chunk_bytes=64) == data
 
 
 def test_decode_skewed_codes():
-    # long/short code mix: deep tree exercises multi-level LUT walk
+    # long/short code mix: deep tree exercises the byte-FSM's multi-symbol
+    # emissions and cross-chunk codeword straddles
     data = (b"a" * 4000 + b"b" * 700 + b"c" * 80 + b"d" * 9 + b"e" * 3 + b"fg") * 5
-    assert decompress_device(compress_host(data), chunk_bits=256) == data
+    assert decompress_device(compress_host(data), chunk_bytes=32) == data
 
 
 def test_decode_nul_symbols():

@@ -30,13 +30,65 @@ def test_random_bytes_various_sizes():
 def test_block_bit_lengths_exact(midsummer):
     arr = np.frombuffer(midsummer, dtype=np.uint8)
     table = build_code_table(histogram(arr))
-    payload, bit_lens = encode_blocks_device(arr, table, block_bytes=4096)
+    flat, nwords, bit_lens = encode_blocks_device(arr, table, block_bytes=4096)
     # per-block lengths must sum to the exact body size
     assert bit_lens.sum() == table.encoded_body_bits(histogram(arr))
+    # each block ships its emitted words + exactly one final partial word
+    assert np.all(nwords >= -(-bit_lens // 32))
+    assert np.all(nwords <= bit_lens // 32 + 1)
     # stitched words render the same body as the host packer
-    words, total = stitch_words(list(np.asarray(payload)), bit_lens)
+    from entreepy_tpu.utils.stitch import stitch_flat_payload
+
+    words, total = stitch_flat_payload(flat, nwords, bit_lens)
     from entreepy_tpu.format import pack_body_host
 
     body, total_host = pack_body_host(arr, table)
     assert total == total_host
     assert words_to_bytes(words, total) == body
+
+
+def test_device_compaction_matches_host_assemble(midsummer):
+    """compact_payload_device must produce exactly the payload rows the host
+    assemble builds (same words, same bit lengths, within its cap)."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.bitpack import (
+        _assemble_payloads_np,
+        code_table_cols,
+        compact_payload_device,
+        emitted_counts,
+        pack_blocks_jit,
+        payload_cap,
+    )
+    from entreepy_tpu.utils.stitch import split_blocks
+
+    arr = np.frombuffer(midsummer, np.uint8)
+    table = build_code_table(histogram(arr))
+    blocks, valid = split_blocks(arr, 1024)
+    ct = jnp.asarray(code_table_cols(table.codes, table.lengths), jnp.bfloat16)
+    words, emitted, acc, nbits = pack_blocks_jit(
+        jnp.asarray(blocks), jnp.asarray(valid), ct
+    )
+    counts = np.asarray(emitted_counts(emitted))
+    cap = payload_cap(int(counts.max()), 1024)
+    pd, bd = compact_payload_device(words, emitted, acc, nbits, cap)
+    ph, bh = _assemble_payloads_np(
+        np.asarray(words), np.asarray(emitted), np.asarray(acc), np.asarray(nbits)
+    )
+    assert np.array_equal(np.asarray(bd, np.int64), bh)
+    w = ph.shape[1]
+    assert np.array_equal(np.asarray(pd)[:, :w], ph)
+    assert not np.asarray(pd)[:, w:].any()
+
+
+def test_device_payload_is_compact(midsummer):
+    """D2H volume of the device encode ~= compressed size, not 4x input
+    (VERDICT r2 item 1)."""
+    data = midsummer * 10  # ~1.1 MB
+    arr = np.frombuffer(data, np.uint8)
+    table = build_code_table(histogram(arr))
+    flat, nwords, bit_lens = encode_blocks_device(arr, table, block_bytes=4096)
+    compressed_bytes = (int(bit_lens.sum()) + 7) // 8
+    fetched = flat.nbytes + nwords.nbytes + bit_lens.nbytes
+    assert fetched <= 1.1 * compressed_bytes + 32768, (fetched, compressed_bytes)
+    assert fetched < arr.size  # and nowhere near the dense 4 B-per-input-byte

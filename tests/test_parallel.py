@@ -61,3 +61,20 @@ def test_multihost_single_process(midsummer):
     et = mh.compress(midsummer, block_bytes=8192)
     assert et == compress_host(midsummer)
     assert mh.decompress(et) == midsummer
+
+
+def test_sharded_encode_fetch_tracks_compressed_size(midsummer, mesh8):
+    """VERDICT r2 item 1: the sharded encode must ship ~compressed bytes
+    off-device, not the 4 B-per-input-byte dense emission slots."""
+    from entreepy_tpu.parallel import dist
+
+    data = midsummer * 10  # ~1.1 MB
+    et = compress_sharded(data, mesh8, block_bytes=4096)
+    assert et == compress_host(data)
+    st = dist.last_encode_stats
+    compressed = (st["payload_bits"] + 7) // 8
+    # Slack: per-shard 1024-word rounding (8 shards x 4 KiB) + block
+    # metadata; still far below the input size and ~4x below dense.
+    assert st["fetched_bytes"] <= 1.1 * compressed + 8 * 4096 + 65536, st
+    assert st["fetched_bytes"] < len(data)
+    assert st["dense_bytes"] > 4 * st["fetched_bytes"]  # what we no longer ship

@@ -172,6 +172,66 @@ def main() -> int:
     assert out.tobytes() == data
     results["bit_equal"] = True
 
+    # ---------------- end-to-end device decode (compressed -> bytes) ------
+    # One jit: FSM passes -> device symbol expansion -> device compaction.
+    # The output is verified by an exact position-weighted checksum readback
+    # (a value-dependent fetch — through the tunnel a 5 MB output fetch
+    # would swamp compute; correctness is separately pinned by tests).
+    from entreepy_tpu.format.fsm8 import expand_tensors
+    from entreepy_tpu.ops.decode8 import compact_symbols_device, expand_pass_device
+
+    t_np, m = expand_tensors(fsm)
+    texp = jnp.asarray(t_np, jnp.bfloat16)
+    counts0, _, _ = expand_pass_device(cols, s2, texp, jnp.int32(buf.size), m)
+    lane_tot0 = np.asarray(jnp.sum(counts0, axis=0))
+    cap_sym = min(-(-int(lane_tot0.max(initial=1)) // 128) * 128, chunk * m)
+    N_SYM = len(data)  # checksum only real output positions (the final body
+    # byte's zero-padding bits can emit one trailing extra symbol, trimmed
+    # on the real decode path)
+
+    @jax.jit
+    def e2e(cols_, tbl_, texp_):
+        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
+        c, iv, sy = expand_pass_device(cols_, s, texp_, jnp.int32(buf.size), m)
+        plane, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+        # position-weighted checksum over the live, consumed prefix
+        starts = (jnp.cumsum(lt) - lt)[:, None]
+        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :]
+        gpos = starts + j
+        live = ((j < lt[:, None]) & (gpos < N_SYM)).astype(jnp.int32)
+        return jnp.sum((plane.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
+
+    def run_e2e():
+        a, b_ = e2e(cols, tbl, texp)
+        return int(a), int(b_)
+
+    (chk, tot), _t = run_e2e(), None
+    assert tot >= len(data), (tot, len(data))
+    ref = np.bitwise_xor(
+        np.frombuffer(data, np.uint8).astype(np.int32), np.arange(len(data)) & 0xFF
+    )
+    assert chk == int(ref.sum()), "device e2e output checksum mismatch"
+
+    # Marginal e2e time via chaining (the tunnel adds ~30-40 ms PER CALL
+    # of complex programs, so call-minus-null under-states the chip; the
+    # differenced chain is the pod-representative number, same method as
+    # the per-pass kernels above).
+    # Marginal e2e time by pipelining N independent async launches and
+    # syncing once: per-launch tunnel overhead (~30-40 ms on complex
+    # programs) overlaps device compute, so the differenced time is the
+    # pod-representative chip number (chaining inside one jit would be
+    # cleaner but its compile blows the probe budget).
+    def e2e_burst(n):
+        outs = [e2e(cols, tbl, texp) for _ in range(n)]
+        return sum(int(a) + int(b) for a, b in outs[-1:])
+
+    t1 = best_of(lambda: e2e_burst(1))
+    t5 = best_of(lambda: e2e_burst(5))
+    e2e_s = max((t5 - t1) / 4, 1e-9)
+    results["decode_e2e_call_ms"] = round(best_of(run_e2e) * 1e3, 1)
+    results["decode_e2e_ms"] = round(e2e_s * 1e3, 2)
+    results["decode_e2e_MBps"] = round(mb / e2e_s, 1)
+
     print(json.dumps(results))
     return 0
 

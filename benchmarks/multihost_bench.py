@@ -37,9 +37,19 @@ def run_group(n_procs: int, mb_per_dev: float) -> str:
     coordinator = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_COMPILATION_CACHE_DIR"] = str(ROOT / ".jax_cache")
+    # Pin each process to its own 2 vCPUs (same per-process budget at every
+    # N) so the efficiency figure measures cross-process coordination, not
+    # core oversubscription on this 4-vCPU host.
+    import shutil
+
+    def pin(pid: int) -> list[str]:
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= 2 * n_procs:
+            return ["taskset", "-c", f"{2 * pid},{2 * pid + 1}"]
+        return []
+
     procs = [
         subprocess.Popen(
-            [sys.executable, str(ROOT / "benchmarks/_mh_bench_worker.py"),
+            [*pin(pid), sys.executable, str(ROOT / "benchmarks/_mh_bench_worker.py"),
              coordinator, str(n_procs), str(pid), str(mb_per_dev)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
         )

@@ -173,23 +173,24 @@ def _build_byte_fsm(table: CodeTable) -> ByteFsm:
 
 def expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int]:
     """Expand-table for on-device symbol emission (ops/decode8.py
-    ``expand_states_device``): float32[256, (m+2)*S] where m = the table's
+    ``expand_pass_device``): float32[256, (m+1)*S] where m = the table's
     max symbols-per-byte. S-wide column blocks, selected by the (known,
     precomputed) state after one ``onehot(byte) @ T`` matmul:
 
-    * block 0 — clamped symbol counts (invalid -> 0)
-    * block 1 — invalid-transition flags (0/1)
-    * block 2+j — symbol slot j (0 beyond the transition's count)
+    * block 0 — symbol count with the invalid flag packed in bit 4
+      (count + 16*invalid; count <= 8, so values <= 24 — one block serves
+      both and saves a fifth of the contraction width)
+    * block 1+j — symbol slot j (0 beyond the transition's count)
 
     Every value <= 255, so bf16 one-hot matmuls are exact.
     """
     m = max(1, int(fsm.counts.max(initial=1)))
     s = fsm.width
-    t = np.zeros((BYTE_FANOUT, (m + 2) * s), np.float32)
-    t[:, 0:s] = np.maximum(fsm.counts, 0).astype(np.float32).T
-    t[:, s : 2 * s] = (fsm.counts < 0).astype(np.float32).T
+    t = np.zeros((BYTE_FANOUT, (m + 1) * s), np.float32)
+    packed = np.maximum(fsm.counts, 0) + 16 * (fsm.counts < 0)
+    t[:, 0:s] = packed.astype(np.float32).T
     for j in range(m):
-        t[:, (2 + j) * s : (3 + j) * s] = fsm.syms[:, :, j].astype(np.float32).T
+        t[:, (1 + j) * s : (2 + j) * s] = fsm.syms[:, :, j].astype(np.float32).T
     return t, m
 
 

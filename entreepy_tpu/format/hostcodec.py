@@ -36,6 +36,19 @@ def pack_body_host(
 
     from .. import runtime
 
+    if table.min_len == table.max_len == 8:
+        # aligned-8 fast path (near-uniform 256-symbol data): the pack is a
+        # pure byte substitution — no bit accumulator needed
+        lut = np.full(256, -1, dtype=np.int16)
+        present = np.flatnonzero(table.lengths == 8)
+        lut[present] = table.codes[present].astype(np.int16)
+        try:
+            native_map = runtime.map_bytes(data, lut)
+        except ValueError:
+            raise ValueError("symbol without a code in the table") from None
+        if native_map is not None:
+            return native_map.tobytes(), data.size * 8
+
     exact_bits = None
     if counts is not None:
         exact_bits = int(
@@ -95,6 +108,42 @@ def unpack_body_host(body: bytes, lut: DecodeLut, n_symbols: int) -> np.ndarray:
 
 # Below this body size the LUT walk wins (byte-FSM table build ~1-2 ms).
 FSM8_HOST_MIN_BYTES = 1 << 18
+
+
+def _decode_aligned8(body: bytes, table: CodeTable, n_symbols: int) -> np.ndarray:
+    """Fast path when EVERY code is exactly 8 bits (near-uniform 256-symbol
+    data — e.g. random bytes — converges here): codes align with byte
+    boundaries, so decode is one vectorized 256-entry byte map at DRAM
+    bandwidth. The general FSM path is bound by its speculative-scratch ->
+    output copy (~200-400 ms per 100 MB on this host) plus the 65 KB
+    table walk; none of that machinery is needed when the stream has no
+    cross-byte codes.
+
+    Accept/reject matches the FSM path exactly: a byte with no 8-bit code
+    raises (consumed invalid transition — only possible when the dictionary
+    is incomplete), and the exact-bit invariant degenerates to
+    ``len(body) == n_symbols``."""
+    if len(body) != n_symbols:
+        if len(body) < n_symbols:
+            raise ValueError(
+                f"bitstream ended early: decoded {len(body)} of {n_symbols} symbols"
+            )
+        raise ValueError(
+            f"corrupt bitstream: {n_symbols} symbols end in body byte "
+            f"{n_symbols - 1} of {len(body)}"
+        )
+    lut = np.full(256, -1, dtype=np.int16)
+    present = np.flatnonzero(table.lengths == 8)
+    lut[table.codes[present]] = present
+    from .. import runtime
+
+    native = runtime.map_bytes(body, lut)  # threaded, raises on holes
+    if native is not None:
+        return native
+    out = lut[np.frombuffer(body, dtype=np.uint8)]
+    if out.min(initial=0) < 0:
+        raise ValueError("invalid bitstream: unreachable trie edge")
+    return out.astype(np.uint8)
 
 
 def unpack_body_fsm8(body: bytes, table: CodeTable, n_symbols: int, progress=None):
@@ -229,10 +278,13 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
             table = build_code_table(counts, strict=strict)
         tick(40, "Building tree...")
         with phase("pack_body", arr.size):
-            block_bits = counts_blocks @ table.lengths.astype(np.int64)
-            packed = runtime.pack_body_sized(
-                arr, table.codes, table.lengths, block_bits
-            )
+            if table.min_len == table.max_len == 8:
+                packed = pack_body_host(arr, table)  # aligned-8 byte map
+            else:
+                block_bits = counts_blocks @ table.lengths.astype(np.int64)
+                packed = runtime.pack_body_sized(
+                    arr, table.codes, table.lengths, block_bits
+                )
             if packed is None:  # stale lib without the sized entry point
                 packed = pack_body_host(arr, table, counts=counts)
         tick(90, "Writing compressed text...")
@@ -265,7 +317,13 @@ def decompress_host(et: bytes, *, progress=None) -> bytes:
     with phase("parse_header"):
         hdr = parse_header(et)
     tick(15, "Decoding text...")
-    body = et[hdr.body_start :]
+    body = memoryview(et)[hdr.body_start :]  # zero-copy (the slice would
+    # memcpy ~the whole file; every consumer below is buffer-protocol)
+    if hdr.table.min_len == hdr.table.max_len == 8 and hdr.body_len > 0:
+        with phase("unpack_body_aligned8", hdr.body_len):
+            out = _decode_aligned8(body, hdr.table, hdr.body_len)
+        tick(90, "Writing decoded text...")
+        return out.tobytes()
     if len(body) >= FSM8_HOST_MIN_BYTES:
         with phase("unpack_body_fsm8", hdr.body_len):
             out = unpack_body_fsm8(body, hdr.table, hdr.body_len, progress=tick)

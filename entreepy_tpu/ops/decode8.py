@@ -252,19 +252,10 @@ def validate_chunk_meta(counts: np.ndarray, w_inv: np.ndarray, n_symbols: int) -
 
 
 @partial(jax.jit, static_argnames=("m",))
-def expand_pass_device(cols, states, t_exp, n_valid, m: int):
-    """Per-byte symbol emission ON DEVICE (no serial chain: states are the
-    decode passes' precomputed output, so every byte's lookup is independent
-    and the matmuls batch freely on the MXU).
-
-    cols/states: int32/uint8[lanes, K]; t_exp: bf16[256, (m+2)*S] from
-    ``format.fsm8.expand_tensors``; n_valid: total real body bytes.
-    Returns (counts int32[K, lanes], inv bool[K, lanes], syms uint8
-    [K, lanes, m]) — dense slots, compacted by
-    :func:`compact_symbols_device`.
-    """
+def _expand_scan(cols, states, t_exp, m: int):
+    """XLA-scan expand (CPU meshes / fallback): see expand_pass_device."""
     lanes, k = cols.shape
-    s = t_exp.shape[1] // (m + 2)
+    s = t_exp.shape[1] // (m + 1)
     s_iota = jnp.arange(s, dtype=jnp.int32)
     b_iota = jnp.arange(256, dtype=jnp.int32)
 
@@ -273,31 +264,68 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int):
         oh_b = (byte[:, None] == b_iota[None, :]).astype(jnp.bfloat16)
         tmp = jnp.dot(oh_b, t_exp, preferred_element_type=jnp.float32)
         mask = (st[:, None] == s_iota[None, :]).astype(jnp.float32)
-        vals = jnp.sum(tmp.reshape(lanes, m + 2, s) * mask[:, None, :], axis=2)
-        return None, vals  # [lanes, m+2]
+        vals = jnp.sum(tmp.reshape(lanes, m + 1, s) * mask[:, None, :], axis=2)
+        return None, vals  # [lanes, m+1]
 
     _, vals = jax.lax.scan(step, None, (cols.T, states.T.astype(jnp.int32)))
-    # real-byte mask: lane l's byte k sits at absolute offset l*K + k
+    raw = vals[..., 0].astype(jnp.int32)  # [K, lanes]
+    syms = vals[..., 1:].astype(jnp.uint8)  # [K, lanes, m]
+    return raw, syms
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _expand_mask(raw, syms, n_valid, m: int):
+    """Shared tail: apply the real-byte mask and unpack count|invalid."""
+    k, lanes = raw.shape
     pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
         k, dtype=jnp.int32
     )[:, None]
     real = pos < n_valid
-    counts = jnp.where(real, vals[..., 0].astype(jnp.int32), 0)
-    inv = jnp.logical_and(real, vals[..., 1] > 0)
-    syms = vals[..., 2:].astype(jnp.uint8)
+    counts = jnp.where(real, raw & 15, 0)
+    inv = jnp.logical_and(real, raw >= 16)
     return counts, inv, syms
 
 
-@partial(jax.jit, static_argnames=("m", "cap_sym", "cap_total"))
-def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int, cap_total: int):
-    """Dense per-byte symbol slots -> ONE flat device-side symbol stream.
+def expand_pass_device(cols, states, t_exp, n_valid, m: int):
+    """Per-byte symbol emission ON DEVICE (no serial chain: states are the
+    decode passes' precomputed output, so every byte's lookup is independent
+    and the matmuls batch freely on the MXU — fused Pallas kernel on real
+    TPUs, XLA scan elsewhere).
 
-    Same two-stage sort compaction as the encoder's payload (scatters
-    serialize on TPU; sorts vectorize): stage 1 packs each lane's symbols
-    to the row front ([lanes, K*m] keys = per-lane stream position), stage
-    2 packs the lanes' streams back to back, so ``flat[:n_symbols]`` IS the
-    decoded output. Also returns per-lane totals and first-invalid offsets
-    for :func:`validate_chunk_meta`.
+    cols/states: int32/uint8[lanes, K]; t_exp: bf16[256, (m+1)*S] from
+    ``format.fsm8.expand_tensors`` (block 0 packs count + 16*invalid);
+    n_valid: total real body bytes. Returns (counts int32[K, lanes], inv
+    bool[K, lanes], syms uint8[K, lanes, m]) — dense slots, compacted by
+    :func:`compact_symbols_device`.
+    """
+    if _use_pallas():
+        try:
+            from .pallas_fsm8 import expand_pass_pallas8
+
+            vals = expand_pass_pallas8(
+                cols.T, states.T.astype(jnp.int32), t_exp, m
+            )  # [K, m+1, lanes]
+            raw = vals[:, 0, :]
+            syms = vals[:, 1:, :].transpose(0, 2, 1).astype(jnp.uint8)
+            return _expand_mask(raw, syms, n_valid, m)
+        except ValueError:  # tile-incompatible shapes
+            pass
+    raw, syms = _expand_scan(cols, states, t_exp, m)
+    return _expand_mask(raw, syms, n_valid, m)
+
+
+@partial(jax.jit, static_argnames=("m", "cap_sym"))
+def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
+    """Dense per-byte symbol slots -> per-lane compacted symbol rows.
+
+    One per-lane sort packs each lane's symbols to the row front
+    ([lanes, K*m] keys = per-lane stream position; scatters serialize on
+    TPU, sorts vectorize). The lanes are NOT flattened into one stream on
+    device — a measured global 1-D sort over the ~n_symbols grid cost more
+    than the whole FSM decode — so the host fetches [lanes, cap_sym] rows
+    (~cap_sym/avg ≈ 1.1-1.2x the output bytes) and concatenates the live
+    prefixes. Also returns per-lane totals and first-invalid offsets for
+    :func:`validate_chunk_meta`.
     """
     k, lanes = counts.shape
     big = jnp.int32(1 << 30)
@@ -313,23 +341,10 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int, cap_total: i
     )
     _, sv = jax.lax.sort_key_val(key2, val2, dimension=1)
     take = min(cap_sym, k * m)
-    plane = sv[:, :take]
+    plane = sv[:, :take].astype(jnp.uint8)
     if cap_sym > k * m:
         plane = jnp.pad(plane, ((0, 0), (0, cap_sym - k * m)))
-
-    jj = jnp.arange(cap_sym, dtype=jnp.int32)[None, :]
-    live = (jj < lane_tot[:, None]).reshape(-1)
-    n = lanes * cap_sym
-    gcum = jnp.cumsum(live.astype(jnp.int32))
-    gi = jnp.arange(n, dtype=jnp.int32)
-    gkey = jnp.where(live, gcum - 1, n + gi)
-    gval = jnp.where(live, plane.reshape(-1), 0)
-    _, flat = jax.lax.sort_key_val(gkey, gval)
-    take2 = min(cap_total, n)
-    out = flat[:take2].astype(jnp.uint8)
-    if cap_total > n:
-        out = jnp.pad(out, (0, cap_total - n))
-    return out, lane_tot, w_inv
+    return plane, lane_tot, w_inv
 
 
 def decode_body_device_full(
@@ -351,7 +366,6 @@ def decode_body_device_full(
         return np.zeros(0, dtype=np.uint8)
     from ..format.fsm8 import expand_tensors
     from ..utils.trace import phase
-    from .bitpack import flat_cap
 
     fsm = fsm or build_byte_fsm(table)
     buf = (
@@ -383,18 +397,18 @@ def decode_body_device_full(
         )
         lane_tot_host = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch
         cap_sym = min(
-            -(-int(lane_tot_host.max(initial=1)) // 256) * 256, chunk_bytes * m
+            -(-int(lane_tot_host.max(initial=1)) // 128) * 128, chunk_bytes * m
         )
-        cap_total = flat_cap(int(lane_tot_host.sum()))
-        flat, lane_tot, w_inv = compact_symbols_device(
-            counts, inv, syms, m, cap_sym, cap_total
-        )
+        plane, lane_tot, w_inv = compact_symbols_device(counts, inv, syms, m, cap_sym)
     with phase("device_sym_fetch", n_symbols):
         counts_np = np.asarray(lane_tot, dtype=np.int64)
         w_inv_np = np.asarray(w_inv, dtype=np.int64)
         w_inv_np[w_inv_np >= (1 << 30)] = -1
         validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-        out = np.asarray(flat[:n_symbols] if cap_total >= n_symbols else flat)
+        plane_np = np.asarray(plane)
+        out = np.concatenate(
+            [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
+        )[:n_symbols]
     if out.size < n_symbols:
         raise ValueError(
             f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"

@@ -177,6 +177,82 @@ def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
     return packed, exits.reshape(lanes)
 
 
+# Expand-kernel tiles: the per-cell VMEM must hold UNROLL_EXP staged
+# [(m+1)*S, lt] f32 lookup results plus the [(m+1)*kt, lt] output block, so
+# k tiles are shorter than the FSM kernel's.
+K_TILE_EXP = 128
+UNROLL_EXP = 2
+
+
+def _expand_kernel(m: int, s: int):
+    """Kernel factory: per byte, one [256,(m+1)S] one-hot contraction (NOT
+    state-dependent — states are precomputed inputs here, so the U matmuls
+    pipeline), then m+1 masked S-reductions emit (packed count | symbol
+    slots) rows."""
+
+    def kernel(x_ref, st_ref, tbl_ref, out_ref):
+        kt, lt = x_ref.shape
+        b_col = jax.lax.broadcasted_iota(jnp.int32, (N_INPUT, lt), 0)
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (s, lt), 0)
+
+        def body(q, _):
+            ds = []
+            for u in range(UNROLL_EXP):
+                x = x_ref[pl.ds(q * UNROLL_EXP + u, 1), :]
+                ohB = (x == b_col).astype(jnp.bfloat16)
+                ds.append(
+                    jax.lax.dot_general(
+                        tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # ((m+1)*S, lt)
+                )
+            for u in range(UNROLL_EXP):
+                st = st_ref[pl.ds(q * UNROLL_EXP + u, 1), :]
+                mask = (st == s_col).astype(jnp.float32)  # (S, lt)
+                for j in range(m + 1):
+                    blk = jax.lax.slice_in_dim(ds[u], j * s, (j + 1) * s, axis=0)
+                    row = jnp.sum(blk * mask, axis=0, keepdims=True)
+                    out_ref[
+                        pl.ds((q * UNROLL_EXP + u) * (m + 1) + j, 1), :
+                    ] = row.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, kt // UNROLL_EXP, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("m", "interpret"))
+def expand_pass_pallas8(xs, states_T, t_exp, m: int, interpret: bool = False):
+    """Fused expand pass: xs int32[K, lanes] byte rows, states_T int32
+    [K, lanes] pre-states, t_exp bf16[256, (m+1)*S] (format.fsm8
+    ``expand_tensors`` layout). Returns vals int32[K, m+1, lanes] — row 0 is
+    count+16*invalid, rows 1.. are the symbol slots (the layout
+    ops/decode8.expand_pass_device consumes)."""
+    k, lanes = xs.shape
+    s = t_exp.shape[1] // (m + 1)
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE_EXP, k)
+    if lanes % lt or k % kt or kt % UNROLL_EXP:
+        raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
+    grid = (lanes // lt, k // kt)
+    out = pl.pallas_call(
+        _expand_kernel(m, s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # expand table
+        ],
+        out_specs=pl.BlockSpec(
+            (kt * (m + 1), lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k * (m + 1), lanes), jnp.int32),
+        interpret=interpret,
+    )(xs, states_T, t_exp)
+    return out.reshape(k, m + 1, lanes)
+
+
 def unpack_states_packed(packed, k: int):
     """int32[K/4, lanes] (4 pre-states MSB-first per word) -> uint8[K, lanes]
     (elementwise shifts; no gathers)."""

@@ -404,27 +404,52 @@ def _expand_multihost(states, buf, fsm, table, n_symbols, chunk_bytes) -> bytes:
         body_my[:n_real] = buf[abs0:my_end]
     st_flat = st_local.reshape(-1)
 
-    cnt = fsm.counts[st_flat, body_my].astype(np.int64)
-    cnt[n_real:] = 0  # padding bytes beyond the real stream emit nothing
-    valid_cnt = np.maximum(cnt, 0)
-    per_chunk = valid_cnt.reshape(my_lanes, chunk_bytes).sum(axis=1)
+    from .. import runtime
 
-    # symbols emitted before the FIRST invalid byte of each chunk (-1: none)
-    w_inv = np.full(my_lanes, -1, dtype=np.int64)
-    inv = np.flatnonzero(cnt < 0)
-    if inv.size:
-        chunks_with_inv, first_idx = np.unique(inv // chunk_bytes, return_index=True)
-        for c, i in zip(chunks_with_inv, first_idx):
-            j = inv[i]
-            w_inv[c] = int(valid_cnt[c * chunk_bytes : j].sum())
+    m = max(1, int(fsm.counts.max(initial=1)))
+    native = (
+        runtime.fsm8_expand_chunks(
+            st_flat[:n_real], body_my[:n_real], fsm.counts, fsm.syms,
+            chunk_bytes, m,
+        )
+        if n_real
+        else None
+    )
+    if native is not None:
+        rows, pc, wi = native
+        per_chunk = np.zeros(my_lanes, dtype=np.int64)
+        per_chunk[: pc.size] = pc
+        w_inv = np.full(my_lanes, -1, dtype=np.int64)
+        w_inv[: wi.size] = wi
+        local_syms = np.concatenate(
+            [rows[c, : pc[c]] for c in range(pc.size)]
+        ) if pc.size else np.zeros(0, np.uint8)
+    else:
+        cnt = fsm.counts[st_flat, body_my].astype(np.int64)
+        cnt[n_real:] = 0  # padding bytes beyond the real stream emit nothing
+        valid_cnt = np.maximum(cnt, 0)
+        per_chunk = valid_cnt.reshape(my_lanes, chunk_bytes).sum(axis=1)
 
-    sy = fsm.syms[st_flat, body_my]  # [n, 8]
-    mask = np.arange(8, dtype=np.int64)[None, :] < cnt[:, None]
-    local_syms = sy[mask]
+        # symbols emitted before the FIRST invalid byte of a chunk (-1: none)
+        w_inv = np.full(my_lanes, -1, dtype=np.int64)
+        inv = np.flatnonzero(cnt < 0)
+        if inv.size:
+            chunks_with_inv, first_idx = np.unique(
+                inv // chunk_bytes, return_index=True
+            )
+            for c, i in zip(chunks_with_inv, first_idx):
+                j = inv[i]
+                w_inv[c] = int(valid_cnt[c * chunk_bytes : j].sum())
 
-    meta = np.stack([per_chunk, w_inv], axis=1)  # [my_lanes, 2]
+        sy = fsm.syms[st_flat, body_my]  # [n, 8]
+        mask = np.arange(8, dtype=np.int64)[None, :] < cnt[:, None]
+        local_syms = sy[mask]
+
+    # int32 meta: jax's x64-disabled gather path handles int64 poorly
+    meta = np.stack([per_chunk, w_inv], axis=1).astype(np.int32)
     gmeta = np.asarray(multihost_utils.process_allgather(meta, tiled=True))
-    counts_all, w_inv_all = gmeta[:, 0], gmeta[:, 1]
+    counts_all = gmeta[:, 0].astype(np.int64)
+    w_inv_all = gmeta[:, 1].astype(np.int64)
     total = int(counts_all.sum())
     if total < n_symbols:
         raise ValueError(
@@ -435,7 +460,8 @@ def _expand_multihost(states, buf, fsm, table, n_symbols, chunk_bytes) -> bytes:
     if consumed_invalid.any():
         raise ValueError("invalid bitstream: unreachable trie edge")
 
-    n_procs = lanes // my_lanes
+    n_procs = jax.process_count()
+    assert n_procs * my_lanes == lanes, (n_procs, my_lanes, lanes)
     proc_totals = counts_all.reshape(n_procs, my_lanes).sum(axis=1)
     cap = int(proc_totals.max(initial=1))
     padded_syms = np.zeros(cap, dtype=np.uint8)

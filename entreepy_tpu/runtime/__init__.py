@@ -49,6 +49,7 @@ def _cache_so() -> Path:
 
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
@@ -123,6 +124,10 @@ def _load() -> ctypes.CDLL | None:
             ("et_pack_parallel_sized", _ll,
              [_u8p, _ll, _u32p, _u8p, _ll, _i64p, _u8p, ctypes.c_int]),
             ("et_stitch_flat", _ll, [_u32p, _i64p, _ll, _i64p, _u32p]),
+            ("et_map_bytes", ctypes.c_int, [_u8p, _ll, _i16p, _u8p, ctypes.c_int]),
+            ("et_fsm8_expand_chunks", _ll,
+             [_u8p, _u8p, _ll, _i8p, _u8p, _ll, _ll, _u8p, _i64p, _i64p,
+              ctypes.c_int]),
         ):
             try:
                 fn = getattr(lib, name)
@@ -271,6 +276,48 @@ def fsm8_expand(states, body, counts_tbl, syms_tbl, n_symbols: int):
 
 
 FSM8_CHUNK_BYTES = 1 << 16
+
+
+def map_bytes(data, lut16: np.ndarray):
+    """Threaded 256-entry byte substitution (aligned-8 fast path).
+    -> uint8 array, None if no lib, raises ValueError on a negative entry."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_map_bytes"):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(data, np.uint8)
+    lut_c = np.ascontiguousarray(lut16, dtype=np.int16)
+    out = np.empty(arr.size, dtype=np.uint8)
+    if lib.et_map_bytes(arr, arr.size, lut_c, out, 0) != 0:
+        raise ValueError("invalid bitstream: unreachable trie edge")
+    return out
+
+
+def fsm8_expand_chunks(states, body, counts_tbl, syms_tbl, chunk_bytes: int,
+                       m: int):
+    """Expand a precomputed state/byte region into per-chunk symbol rows.
+
+    Returns (rows uint8[nc, chunk_bytes*m + 8] — chunk symbols
+    left-justified, chunk_counts int64[nc], w_inv int64[nc]) or None if no
+    lib. Validation is the caller's (ops/decode8.validate_chunk_meta)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "et_fsm8_expand_chunks"):
+        return None
+    st = np.ascontiguousarray(states, dtype=np.uint8).reshape(-1)
+    bd = np.ascontiguousarray(body, dtype=np.uint8).reshape(-1)
+    n = st.size
+    nc = max(1, -(-n // chunk_bytes))
+    cap = chunk_bytes * m + 8
+    out = np.empty((nc, cap), dtype=np.uint8)
+    counts = np.zeros(nc, dtype=np.int64)
+    w_inv = np.full(nc, -1, dtype=np.int64)
+    lib.et_fsm8_expand_chunks(
+        st, bd, n,
+        np.ascontiguousarray(counts_tbl.reshape(-1), dtype=np.int8),
+        np.ascontiguousarray(syms_tbl.reshape(-1), dtype=np.uint8),
+        chunk_bytes, m, out.reshape(-1), counts, w_inv, 0,
+    )
+    return out, counts, w_inv
 
 
 def histogram_blocks(data: np.ndarray, block_bytes: int = PACK_BLOCK_BYTES):

@@ -19,6 +19,10 @@
 // Exposed with plain C linkage for ctypes (no pybind11 in this toolchain).
 // All bit order is big-endian (MSB first) to match the .et format.
 
+#ifdef __linux__
+#include <sched.h>
+#endif
+
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -247,6 +251,15 @@ long long et_stitch_flat(const uint32_t* flat, const long long* offs,
 
 static int et_nthreads(int requested) {
   if (requested > 0) return requested;
+#ifdef __linux__
+  // Respect CPU affinity (taskset / cgroup pinning): hardware_concurrency
+  // ignores it and oversubscribes pinned processes ~2x.
+  cpu_set_t set;
+  if (sched_getaffinity(0, sizeof set, &set) == 0) {
+    const int c = CPU_COUNT(&set);
+    if (c > 0) return c;
+  }
+#endif
   const unsigned hc = std::thread::hardware_concurrency();
   return hc ? (int)hc : 1;
 }
@@ -671,6 +684,73 @@ long long et_decode_parallel(const uint8_t* body, long long body_bytes,
   lap("emit");
   if (corrupt.load()) return -1;
   return n_symbols;
+}
+
+// 256-entry byte map, threaded — the aligned-8 fast path (every code
+// exactly 8 bits: decode AND encode are pure byte substitutions at memory
+// bandwidth). lut: int16[256], negative = no mapping (consumed-invalid for
+// decode, symbol-without-code for encode). Returns 0, or -1 if any byte
+// hit a negative entry.
+int et_map_bytes(const uint8_t* in, long long n, const int16_t* lut,
+                 uint8_t* out, int nthreads) {
+  std::atomic<bool> bad(false);
+  const int k = et_nthreads(nthreads);
+  const long long stripe = (n + k - 1) / k;
+  et_parallel_for(k, k, [&](long long t) {
+    const long long lo = t * stripe;
+    const long long hi = (lo + stripe < n) ? lo + stripe : n;
+    int16_t acc = 0;
+    for (long long i = lo; i < hi; ++i) {
+      const int16_t v = lut[in[i]];
+      acc |= v;
+      out[i] = (uint8_t)v;
+    }
+    if (acc < 0) bad.store(true, std::memory_order_relaxed);
+  });
+  return bad.load() ? -1 : 0;
+}
+
+// Expand a whole precomputed state/byte region to symbols with per-chunk
+// metadata — the multi-host local-expansion kernel (each process expands
+// only its own chunks; ops/decode8.validate_chunk_meta applies the global
+// accept/reject). Chunks are independent (states are the decode passes'
+// output), so this threads perfectly. out layout: [nc, chunk_bytes*m]
+// row-major regions, chunk c's symbols left-justified in row c (m = the
+// table's max symbols/byte; counts_tbl never exceeds it). chunk_counts[c] =
+// symbols in chunk c; w_inv[c] = symbols before chunk c's FIRST invalid
+// transition, or -1. Requires 8 bytes of slack per row (unconditional
+// copies). Returns total symbols.
+long long et_fsm8_expand_chunks(const uint8_t* states, const uint8_t* body,
+                                long long n, const int8_t* counts_tbl,
+                                const uint8_t* syms_tbl, long long chunk_bytes,
+                                long long m, uint8_t* out,
+                                long long* chunk_counts, long long* w_inv,
+                                int nthreads) {
+  if (n <= 0) return 0;
+  const long long nc = (n + chunk_bytes - 1) / chunk_bytes;
+  const long long cap = chunk_bytes * m + 8;
+  et_parallel_for(nc, et_nthreads(nthreads), [&](long long c) {
+    const long long lo = c * chunk_bytes;
+    const long long hi = (lo + chunk_bytes < n) ? lo + chunk_bytes : n;
+    uint8_t* o = out + c * cap;
+    long long w = 0;
+    long long winv = -1;
+    for (long long i = lo; i < hi; ++i) {
+      const uint32_t idx = ((uint32_t)states[i] << 8) | body[i];
+      const int cnt = counts_tbl[idx];
+      if (cnt > 0) {
+        std::memcpy(o + w, syms_tbl + (size_t)idx * 8, 8);  // cap slack
+        w += cnt;
+      } else if (cnt < 0 && winv < 0) {
+        winv = w;
+      }
+    }
+    chunk_counts[c] = w;
+    w_inv[c] = winv;
+  });
+  long long total = 0;
+  for (long long c = 0; c < nc; ++c) total += chunk_counts[c];
+  return total;
 }
 
 // Byte-FSM chunk-parallel decode (gen 2) — the host twin of the TPU byte-FSM

@@ -213,3 +213,81 @@ def test_random_tables_fsm8_matches_lut():
         assert bytes(syms_out[: data.size]) == data.tobytes() == ref.tobytes()
         out = decode_body_device(body, table, data.size, chunk_bytes=64)
         assert out.tobytes() == data.tobytes()
+
+
+# --- fully-on-device decode (device expansion + compaction) ---
+
+
+def _roundtrip_full(data: bytes, chunk_bytes: int = 512) -> bytes:
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.ops.decode8 import decode_body_device_full
+
+    et = compress_host(data)
+    hdr = parse_header(et)
+    return decode_body_device_full(
+        et[hdr.body_start :], hdr.table, hdr.body_len, chunk_bytes=chunk_bytes
+    ).tobytes()
+
+
+@pytest.mark.parametrize("name", ["tiny_text", "macbeth", "midsummer"])
+def test_device_full_decode_corpora(name, request):
+    data = request.getfixturevalue(name)
+    assert _roundtrip_full(data) == data
+
+
+def test_device_full_decode_statistics():
+    rng = np.random.default_rng(3)
+    for data in (
+        rng.integers(0, 256, 50000, dtype=np.uint8).tobytes(),  # 256 syms, m=1
+        (b"a" * 4000 + b"bcde") * 40,  # skewed: multi-symbol bytes
+        b"\x00" * 300 + bytes(range(40)) * 25,  # NUL round-trip
+    ):
+        assert _roundtrip_full(data, chunk_bytes=64) == data
+
+
+def test_device_full_decode_truncated_raises(midsummer):
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.ops.decode8 import decode_body_device_full
+
+    et = compress_host(midsummer)
+    hdr = parse_header(et)
+    with pytest.raises(ValueError, match="ended early|corrupt"):
+        decode_body_device_full(
+            et[hdr.body_start : hdr.body_start + 600], hdr.table, hdr.body_len
+        )
+
+
+def test_device_full_decode_invalid_edge_raises():
+    """A non-full table (missing symbol) must make consumed invalid
+    transitions raise — same semantics as the host expansion."""
+    from entreepy_tpu.format import build_code_table, histogram, pack_body_host
+    from entreepy_tpu.format.huffman import CodeTable
+    from entreepy_tpu.ops.decode8 import decode_body_device_full
+
+    data = (b"abcdef" * 200) + b"g" + (b"abcdef" * 200)
+    arr = np.frombuffer(data, np.uint8)
+    table = build_code_table(histogram(arr))
+    body, _ = pack_body_host(arr, table)
+    # decode with a pruned table: 'g' has no code -> its bits walk a dead edge
+    lengths = table.lengths.copy()
+    codes = table.codes.copy()
+    lengths[ord("g")] = 0
+    codes[ord("g")] = 0
+    pruned = CodeTable(codes, lengths)
+    with pytest.raises(ValueError, match="invalid bitstream|corrupt|ended early"):
+        decode_body_device_full(body, pruned, arr.size)
+
+
+def test_validate_chunk_meta_semantics():
+    from entreepy_tpu.ops.decode8 import validate_chunk_meta
+
+    counts = np.array([10, 10, 10], dtype=np.int64)
+    none = np.array([-1, -1, -1], dtype=np.int64)
+    validate_chunk_meta(counts, none, 30)  # clean accept
+    # invalid in chunk 1 after 5 symbols -> consumed when n_symbols > 15
+    w = np.array([-1, 5, -1], dtype=np.int64)
+    validate_chunk_meta(counts, w, 15)  # 15 symbols end before the invalid
+    with pytest.raises(ValueError, match="invalid"):
+        validate_chunk_meta(counts, w, 16)
+    with pytest.raises(ValueError, match="ended early"):
+        validate_chunk_meta(counts, none, 31)

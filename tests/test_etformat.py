@@ -144,3 +144,33 @@ def test_compressed_sizes_match_reference_ratios(macbeth, midsummer):
     # this corpus is 66,312 B, which we must not exceed).
     assert len(compress_host(macbeth)) == 374
     assert len(compress_host(midsummer)) == 66312
+
+
+def test_aligned8_fast_path_matches_fsm():
+    """All-8-bit-code tables take the vectorized byte-map fast path; output
+    and accept/reject must match the general FSM decoder."""
+    import numpy as np
+
+    from entreepy_tpu.format.hostcodec import _decode_aligned8, unpack_body_fsm8
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 600_000, dtype=np.uint8).tobytes()
+    et = compress_host(data)
+    from entreepy_tpu.format import parse_header
+
+    hdr = parse_header(et)
+    assert hdr.table.min_len == hdr.table.max_len == 8  # uniform -> aligned
+    body = et[hdr.body_start :]
+    out = _decode_aligned8(body, hdr.table, hdr.body_len)
+    assert out.tobytes() == data
+    fsm_out = unpack_body_fsm8(body, hdr.table, hdr.body_len)
+    if fsm_out is not None:
+        assert np.array_equal(out, fsm_out)
+    assert decompress_host(et) == data  # dispatcher takes the fast path
+    # truncation and over-length must raise like the FSM path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ended early"):
+        _decode_aligned8(body[:-1], hdr.table, hdr.body_len)
+    with _pytest.raises(ValueError, match="corrupt"):
+        _decode_aligned8(body + b"\x00", hdr.table, hdr.body_len)

@@ -245,10 +245,10 @@ def _device_probe_stages(et: bytes):
         s, u = decode_fn(cols_, tbl_, jnp.int32(n_real))
         c, iv, sy = expand_pass_device(cols_, s, texp_, jnp.int32(buf.size), m)
         plane, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
-        starts = (jnp.cumsum(lt) - lt)[:, None]
-        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :]
-        gpos = starts + j
-        live = ((j < lt[:, None]) & (gpos < N_SYM)).astype(jnp.int32)
+        starts = (jnp.cumsum(lt) - lt)[None, :]
+        j = jnp.arange(cap_sym, dtype=jnp.int32)[:, None]
+        gpos = starts + j  # plane is [cap_sym, lanes]
+        live = ((j < lt[None, :]) & (gpos < N_SYM)).astype(jnp.int32)
         return jnp.sum((plane.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
 
     # Marginal e2e time by pipelining N independent async launches and

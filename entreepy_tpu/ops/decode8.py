@@ -269,7 +269,7 @@ def _expand_scan(cols, states, t_exp, m: int):
 
     _, vals = jax.lax.scan(step, None, (cols.T, states.T.astype(jnp.int32)))
     raw = vals[..., 0].astype(jnp.int32)  # [K, lanes]
-    syms = vals[..., 1:].astype(jnp.uint8)  # [K, lanes, m]
+    syms = vals[..., 1:].transpose(0, 2, 1).astype(jnp.uint8)  # [K, m, lanes]
     return raw, syms
 
 
@@ -306,7 +306,7 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int):
                 cols.T, states.T.astype(jnp.int32), t_exp, m
             )  # [K, m+1, lanes]
             raw = vals[:, 0, :]
-            syms = vals[:, 1:, :].transpose(0, 2, 1).astype(jnp.uint8)
+            syms = vals[:, 1:, :].astype(jnp.uint8)  # [K, m, lanes] — native
             return _expand_mask(raw, syms, n_valid, m)
         except ValueError:  # tile-incompatible shapes
             pass
@@ -316,16 +316,22 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int):
 
 @partial(jax.jit, static_argnames=("m", "cap_sym"))
 def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
-    """Dense per-byte symbol slots -> per-lane compacted symbol rows.
+    """Dense per-byte symbol slots -> per-lane compacted symbol columns.
 
-    One per-lane sort packs each lane's symbols to the row front
-    ([lanes, K*m] keys = per-lane stream position; scatters serialize on
-    TPU, sorts vectorize). The lanes are NOT flattened into one stream on
-    device — a measured global 1-D sort over the ~n_symbols grid cost more
-    than the whole FSM decode — so the host fetches [lanes, cap_sym] rows
-    (~cap_sym/avg ≈ 1.1-1.2x the output bytes) and concatenates the live
-    prefixes. Also returns per-lane totals and first-invalid offsets for
-    :func:`validate_chunk_meta`.
+    One per-lane sort packs each lane's symbols to the column front
+    (keys = per-lane stream position; scatters serialize on TPU, sorts
+    vectorize). Everything stays in the expand kernel's [K*, lanes] layout
+    — keys build contiguously and the sort runs along dim 0, so no
+    multi-MB transposes enter the pipeline. The lanes are NOT flattened
+    into one stream on device — a measured global 1-D sort over the
+    ~n_symbols grid cost more than the whole FSM decode — the host fetches
+    [cap_sym, lanes] (~cap_sym/avg ≈ 1.1-1.2x the output bytes) and
+    concatenates the live column prefixes. Also returns per-lane totals
+    and first-invalid offsets for :func:`validate_chunk_meta`.
+
+    counts/inv: int32/bool[K, lanes]; syms: uint8[K, m, lanes].
+    Returns (plane uint8[cap_sym, lanes], lane_tot int32[lanes],
+    w_inv int32[lanes], 1<<30 = none).
     """
     k, lanes = counts.shape
     big = jnp.int32(1 << 30)
@@ -333,17 +339,24 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     lane_tot = cumk[-1] + counts[-1]
     w_inv = jnp.where(inv, cumk, big).min(axis=0)  # [lanes]
 
-    j = jnp.arange(m, dtype=jnp.int32)[None, None, :]
-    key = jnp.where(j < counts[..., None], cumk[..., None] + j, big)
-    key2 = key.transpose(1, 0, 2).reshape(lanes, k * m)
-    val2 = jnp.where(
-        key2 < big, syms.transpose(1, 0, 2).reshape(lanes, k * m).astype(jnp.int32), 0
+    # ONE int32 per slot — (position << 8) | symbol — so the sort moves half
+    # the bytes a (key, value) pair sort would; dead slots carry the max
+    # packed value and sink to the bottom. Positions < K*m << 2^23, so the
+    # shift never overflows.
+    j = jnp.arange(m, dtype=jnp.int32)[None, :, None]
+    pos = jnp.where(
+        j < counts[:, None, :], cumk[:, None, :] + j, big >> 8
+    )  # [K, m, lanes]
+    packed = (pos.reshape(k * m, lanes) << 8) | jnp.where(
+        pos.reshape(k * m, lanes) < (big >> 8),
+        syms.reshape(k * m, lanes).astype(jnp.int32),
+        0,
     )
-    _, sv = jax.lax.sort_key_val(key2, val2, dimension=1)
+    sv = jnp.sort(packed, axis=0)
     take = min(cap_sym, k * m)
-    plane = sv[:, :take].astype(jnp.uint8)
+    plane = (sv[:take, :] & 255).astype(jnp.uint8)
     if cap_sym > k * m:
-        plane = jnp.pad(plane, ((0, 0), (0, cap_sym - k * m)))
+        plane = jnp.pad(plane, ((0, cap_sym - k * m), (0, 0)))
     return plane, lane_tot, w_inv
 
 
@@ -405,7 +418,7 @@ def decode_body_device_full(
         w_inv_np = np.asarray(w_inv, dtype=np.int64)
         w_inv_np[w_inv_np >= (1 << 30)] = -1
         validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-        plane_np = np.asarray(plane)
+        plane_np = np.asarray(plane).T  # [lanes, cap_sym] for row slicing
         out = np.concatenate(
             [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
         )[:n_symbols]

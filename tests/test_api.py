@@ -71,3 +71,15 @@ def test_inspect(macbeth):
     codes = sorted(bits for _, bits in info["dictionary"].values())
     for a, b in zip(codes, codes[1:]):
         assert not b.startswith(a)
+
+
+def test_version_consistent():
+    """__version__ must track pyproject (it had drifted to 0.1.0 once)."""
+    import re
+    from pathlib import Path
+
+    import entreepy_tpu
+
+    text = (Path(__file__).parent.parent / "pyproject.toml").read_text()
+    v = re.search(r'^version = "(.*)"$', text, re.M).group(1)
+    assert entreepy_tpu.__version__ == v

@@ -92,3 +92,70 @@ def test_device_payload_is_compact(midsummer):
     fetched = flat.nbytes + nwords.nbytes + bit_lens.nbytes
     assert fetched <= 1.1 * compressed_bytes + 32768, (fetched, compressed_bytes)
     assert fetched < arr.size  # and nowhere near the dense 4 B-per-input-byte
+
+
+def test_compact_payload_flat_property():
+    """Random emitted patterns through the two-stage flat compaction must
+    reproduce the host assemble's words in lane order."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.bitpack import (
+        _assemble_payloads_np,
+        compact_payload_flat,
+        flat_cap,
+        payload_cap,
+    )
+
+    rng = np.random.default_rng(21)
+    lanes, steps = 16, 256
+    words = rng.integers(0, 2**32, size=(lanes, steps), dtype=np.uint64).astype(
+        np.uint32
+    )
+    emitted = rng.random((lanes, steps)) < 0.23
+    acc = rng.integers(0, 2**32, size=lanes, dtype=np.uint64).astype(np.uint32)
+    nbits = rng.integers(0, 32, size=lanes).astype(np.int32)
+    counts = emitted.sum(axis=1)
+    cap = payload_cap(int(counts.max()), steps)
+    cap_total = flat_cap(int(counts.sum()) + lanes)
+    flat, nwords, bit_lens = compact_payload_flat(
+        jnp.asarray(words),
+        jnp.asarray(emitted),
+        jnp.asarray(acc),
+        jnp.asarray(nbits),
+        cap,
+        cap_total,
+    )
+    ph, bh = _assemble_payloads_np(words, emitted, acc, nbits)
+    flat_np = np.asarray(flat)
+    nw = np.asarray(nwords)
+    assert np.array_equal(np.asarray(bit_lens, np.int64), bh)
+    off = 0
+    for l in range(lanes):
+        got = flat_np[off : off + nw[l]]
+        want = ph[l, : nw[l]]
+        assert np.array_equal(got, want), l
+        off += nw[l]
+    assert not flat_np[off:].any()
+
+
+def test_stitch_flat_matches_stitch_words():
+    from entreepy_tpu.utils.stitch import stitch_flat_payload, stitch_words
+
+    rng = np.random.default_rng(22)
+    lanes, capw = 19, 6
+    flat = rng.integers(0, 2**32, size=lanes * capw, dtype=np.uint64).astype(np.uint32)
+    bit_lens = rng.integers(0, capw * 32 - 31, size=lanes).astype(np.int64)
+    nwords = np.full(lanes, capw, dtype=np.int64)
+    views = []
+    for l in range(lanes):
+        nw = (int(bit_lens[l]) + 31) // 32
+        flat[l * capw + nw : (l + 1) * capw] = 0
+        rem = int(bit_lens[l]) & 31
+        if rem and nw:
+            flat[l * capw + nw - 1] &= np.uint32(0xFFFFFFFF) << (32 - rem)
+        views.append(flat[l * capw : (l + 1) * capw])
+    ref_words, ref_total = stitch_words(views, bit_lens)
+    got_words, got_total = stitch_flat_payload(flat, nwords, bit_lens)
+    assert got_total == ref_total
+    n = ref_total // 32 + 1
+    assert np.array_equal(got_words[:n], ref_words[:n])

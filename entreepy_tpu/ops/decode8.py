@@ -274,10 +274,12 @@ def _expand_scan(cols, states, t_exp, m: int):
 
 
 @partial(jax.jit, static_argnames=("m",))
-def _expand_mask(raw, syms, n_valid, m: int):
-    """Shared tail: apply the real-byte mask and unpack count|invalid."""
+def _expand_mask(raw, syms, n_valid, m: int, pos0=0):
+    """Shared tail: apply the real-byte mask and unpack count|invalid.
+    ``pos0`` offsets the absolute byte positions (sharded callers pass the
+    shard's global start so padding past ``n_valid`` masks correctly)."""
     k, lanes = raw.shape
-    pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
+    pos = pos0 + jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
         k, dtype=jnp.int32
     )[:, None]
     real = pos < n_valid
@@ -286,7 +288,7 @@ def _expand_mask(raw, syms, n_valid, m: int):
     return counts, inv, syms
 
 
-def expand_pass_device(cols, states, t_exp, n_valid, m: int):
+def expand_pass_device(cols, states, t_exp, n_valid, m: int, pos0=0):
     """Per-byte symbol emission ON DEVICE (no serial chain: states are the
     decode passes' precomputed output, so every byte's lookup is independent
     and the matmuls batch freely on the MXU — fused Pallas kernel on real
@@ -307,11 +309,11 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int):
             )  # [K, m+1, lanes]
             raw = vals[:, 0, :]
             syms = vals[:, 1:, :].astype(jnp.uint8)  # [K, m, lanes] — native
-            return _expand_mask(raw, syms, n_valid, m)
+            return _expand_mask(raw, syms, n_valid, m, pos0)
         except ValueError:  # tile-incompatible shapes
             pass
     raw, syms = _expand_scan(cols, states, t_exp, m)
-    return _expand_mask(raw, syms, n_valid, m)
+    return _expand_mask(raw, syms, n_valid, m, pos0)
 
 
 @partial(jax.jit, static_argnames=("m", "cap_sym"))

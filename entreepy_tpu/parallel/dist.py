@@ -13,8 +13,12 @@ future work, its README's "block based parallel decoding"):
 
 Decode: FSM chunks (lanes) shard across devices; the self-sync fixed-point
 loop runs *inside* jit with a tiled ``all_gather`` of per-chunk exit states
-per pass (a few KB over ICI), then each shard emits its symbol slots locally
-and the host compacts them in stream order.
+per pass (a few KB over ICI). Symbols then come from (a) the threaded host
+expansion of the fetched states (default here — fastest on this dev host),
+(b) per-process local expansion under multi-host (1/N fetch,
+``_expand_multihost``), or (c) fully on-shard device expansion + compaction
+(``device_expand=True`` / ENTREEPY_SHARDED_DEVICE_EXPAND=1 — each chip
+emits its own chunks' output bytes; the pod-scaling path).
 
 Multi-host: the same program runs under ``jax.distributed.initialize`` —
 the mesh axis spans all processes' devices and the collectives ride
@@ -23,6 +27,7 @@ ICI within a slice and DCN across hosts.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -236,6 +241,29 @@ def _compact_fn(mesh: Mesh, axis: str, cap: int, cap_total_local: int):
 
 
 @lru_cache(maxsize=None)
+def _expand_fn(mesh: Mesh, axis: str, m: int):
+    """Per-shard on-device symbol emission (Pallas on real TPUs): every
+    shard expands its own lanes' states — no collectives; ``pos0`` offsets
+    the real-byte mask to the shard's global byte position."""
+
+    def local(cols_l, states_l, t_exp, n_valid):
+        from ..ops.decode8 import expand_pass_device
+
+        base = jax.lax.axis_index(axis) * cols_l.shape[0] * cols_l.shape[1]
+        return expand_pass_device(cols_l, states_l, t_exp, n_valid[0], m, pos0=base)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(None, axis), P(None, axis), P(None, None, axis)),
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=None)
 def _decode_fn(mesh: Mesh, axis: str):
     """Sharded byte-FSM decode (gen 2, see ops/decode8.py): chunk lanes shard
     over the mesh; entry states first come from a local suffix sync, then
@@ -324,8 +352,16 @@ def decompress_sharded(
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     axis: str = BLOCK_AXIS,
     chunk_bits: int | None = None,  # back-compat: bits = 8 * chunk_bytes
+    device_expand: bool | None = None,
 ) -> bytes:
-    """.et file -> original bytes, chunk-parallel across the mesh."""
+    """.et file -> original bytes, chunk-parallel across the mesh.
+
+    device_expand=True (or ENTREEPY_SHARDED_DEVICE_EXPAND=1) runs symbol
+    expansion + compaction ON the shards too (single-process meshes) —
+    each chip emits its own chunks' output bytes, so the host does no
+    per-byte work at all. Default: states fetch + threaded host expansion
+    (faster on this 4-vCPU dev host; the device path is the pod-scaling
+    story)."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     hdr = parse_header(et)
@@ -360,7 +396,49 @@ def decompress_sharded(
         return out.tobytes()
     if jax.process_count() > 1:
         return _expand_multihost(states, buf, fsm, hdr.table, hdr.body_len, chunk_bytes)
+    if device_expand is None:
+        device_expand = os.environ.get("ENTREEPY_SHARDED_DEVICE_EXPAND") == "1"
+    if device_expand:
+        return _expand_on_shards(
+            mesh, axis, cols, states, buf, fsm, hdr.table, hdr.body_len
+        )
     return expand_states(_fetch(states), buf, fsm, hdr.body_len).tobytes()
+
+
+def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> bytes:
+    """Shard-local device expansion + compaction: each shard's chips emit
+    their own chunks' output bytes (Pallas expand kernel on real TPUs); the
+    host only fetches tiny per-lane metadata and the compacted symbol
+    columns, applies the serial-exact accept/reject, and concatenates."""
+    from ..format.fsm8 import expand_tensors
+    from ..format.hostcodec import _check_stream_bits
+    from ..ops.decode8 import compact_symbols_device, validate_chunk_meta
+
+    t_np, m = expand_tensors(fsm)
+    t_exp = jnp.asarray(t_np, jnp.bfloat16)
+    counts, inv, syms = _expand_fn(mesh, axis, m)(
+        cols, states, t_exp, jnp.full((1,), buf.size, dtype=jnp.int32)
+    )
+    lane_tot0 = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch
+    cap_sym = min(
+        -(-int(lane_tot0.max(initial=1)) // 128) * 128, cols.shape[1] * m
+    )
+    # per-lane ops only — GSPMD keeps the lane sharding, no collectives
+    plane, lane_tot, w_inv = compact_symbols_device(counts, inv, syms, m, cap_sym)
+    counts_np = np.asarray(lane_tot, dtype=np.int64)
+    w_inv_np = np.asarray(w_inv, dtype=np.int64)
+    w_inv_np[w_inv_np >= (1 << 30)] = -1
+    validate_chunk_meta(counts_np, w_inv_np, n_symbols)
+    plane_np = np.asarray(plane).T  # [lanes, cap_sym]
+    out = np.concatenate(
+        [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
+    )[:n_symbols]
+    if out.size < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
+        )
+    _check_stream_bits(out, table.lengths, buf.size)
+    return out.tobytes()
 
 
 # Diagnostics from the last multi-host expansion (the 2-process test asserts

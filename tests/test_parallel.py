@@ -78,3 +78,25 @@ def test_sharded_encode_fetch_tracks_compressed_size(midsummer, mesh8):
     assert st["fetched_bytes"] <= 1.1 * compressed + 8 * 4096 + 65536, st
     assert st["fetched_bytes"] < len(data)
     assert st["dense_bytes"] > 4 * st["fetched_bytes"]  # what we no longer ship
+
+
+def test_sharded_device_expand_matches_host(midsummer, mesh8):
+    """device_expand=True: every shard emits its own chunks' output bytes
+    on-device; result must be byte-identical to the host path."""
+    data = midsummer * 3
+    et = compress_host(data)
+    out = decompress_sharded(et, mesh8, device_expand=True)
+    assert out == data
+    # degenerate shapes: chunk smaller than the sync window, tiny corpus
+    et2 = compress_host(midsummer[:5000])
+    assert decompress_sharded(et2, mesh8, chunk_bytes=32, device_expand=True) == midsummer[:5000]
+
+
+def test_sharded_device_expand_truncated_raises(macbeth, mesh8):
+    et = compress_host(macbeth * 8)
+    from entreepy_tpu.format import parse_header
+
+    hdr = parse_header(et)
+    cut = et[: hdr.body_start + (len(et) - hdr.body_start) // 2]
+    with pytest.raises(ValueError, match="ended early|corrupt"):
+        decompress_sharded(cut, mesh8, device_expand=True)

@@ -208,14 +208,12 @@ def main() -> int:
     (chk, tot), _t = run_e2e(), None
     assert tot >= len(data), (tot, len(data))
     ref = np.bitwise_xor(
-        np.frombuffer(data, np.uint8).astype(np.int32), np.arange(len(data)) & 0xFF
+        np.frombuffer(data, np.uint8).astype(np.int64), np.arange(len(data)) & 0xFF
     )
-    assert chk == int(ref.sum()), "device e2e output checksum mismatch"
+    # the device accumulates in int32 (wrapping); compare modulo 2^32
+    assert chk & 0xFFFFFFFF == int(ref.sum()) & 0xFFFFFFFF, \
+        "device e2e output checksum mismatch"
 
-    # Marginal e2e time via chaining (the tunnel adds ~30-40 ms PER CALL
-    # of complex programs, so call-minus-null under-states the chip; the
-    # differenced chain is the pod-representative number, same method as
-    # the per-pass kernels above).
     # Marginal e2e time by pipelining N independent async launches and
     # syncing once: per-launch tunnel overhead (~30-40 ms on complex
     # programs) overlaps device compute, so the differenced time is the

@@ -255,8 +255,22 @@ def _dump_dictionary(data: bytes) -> None:
         if table.lengths[s] > 0
     ]
     for bits, sym in sorted(entries):  # lexicographic bits == DFS left-first
-        print(f"{chr(sym)} {sym} - {bits}")
+        _write_raw(bytes([sym]) + f" {sym} - {bits}\n".encode("ascii"))
     _prefix_audit(table)
+
+
+def _write_raw(payload: bytes) -> None:
+    """Write raw bytes to stdout: the reference prints the symbol as its raw
+    byte ({c} in Zig), which chr()+print would UTF-8-encode for values >=
+    128 (or crash under a non-UTF-8 stdout). Falls back to a lossy text
+    write when stdout has no binary buffer (in-process capture)."""
+    buf = getattr(sys.stdout, "buffer", None)
+    if buf is not None:
+        sys.stdout.flush()
+        buf.write(payload)
+        buf.flush()
+    else:
+        sys.stdout.write(payload.decode("latin-1"))
 
 
 def _prefix_audit(table) -> None:
@@ -282,8 +296,10 @@ def _prefix_audit(table) -> None:
                     is_prefix = False
                     break
             if is_prefix:
-                sys.stdout.write(
-                    f"Found colliding prefix codes for {i} {chr(i)} and {j} {chr(j)}"
+                _write_raw(
+                    b"Found colliding prefix codes for "
+                    + f"{i} ".encode("ascii") + bytes([i])
+                    + f" and {j} ".encode("ascii") + bytes([j])
                 )
 
 

@@ -279,7 +279,8 @@ def compress_host(data: bytes, *, strict: bool = True, progress=None) -> bytes:
         tick(40, "Building tree...")
         with phase("pack_body", arr.size):
             if table.min_len == table.max_len == 8:
-                packed = pack_body_host(arr, table)  # aligned-8 byte map
+                # aligned-8 byte map (counts keep the fallback single-pass)
+                packed = pack_body_host(arr, table, counts=counts)
             else:
                 block_bits = counts_blocks @ table.lengths.astype(np.int64)
                 packed = runtime.pack_body_sized(

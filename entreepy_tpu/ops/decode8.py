@@ -297,8 +297,8 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int, pos0=0):
     cols/states: int32/uint8[lanes, K]; t_exp: bf16[256, (m+1)*S] from
     ``format.fsm8.expand_tensors`` (block 0 packs count + 16*invalid);
     n_valid: total real body bytes. Returns (counts int32[K, lanes], inv
-    bool[K, lanes], syms uint8[K, lanes, m]) — dense slots, compacted by
-    :func:`compact_symbols_device`.
+    bool[K, lanes], syms uint8[K, m, lanes] — byte-major, slot, lane) —
+    dense slots, compacted by :func:`compact_symbols_device`.
     """
     if _use_pallas():
         try:
@@ -336,6 +336,10 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     w_inv int32[lanes], 1<<30 = none).
     """
     k, lanes = counts.shape
+    if k * m >= 1 << 22:
+        # stream positions must fit below the dead-slot sentinel (big >> 8)
+        # and survive the << 8 pack without touching the sign bit
+        raise ValueError(f"chunk_bytes*m = {k * m} exceeds the 2^22 sort bound")
     big = jnp.int32(1 << 30)
     cumk = jnp.cumsum(counts, axis=0) - counts  # symbols before byte k, per lane
     lane_tot = cumk[-1] + counts[-1]
@@ -360,6 +364,30 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     if cap_sym > k * m:
         plane = jnp.pad(plane, ((0, cap_sym - k * m), (0, 0)))
     return plane, lane_tot, w_inv
+
+
+def assemble_symbol_plane(plane, lane_tot, w_inv, n_symbols, table, n_body) -> np.ndarray:
+    """Fetch + validate + concatenate a compacted symbol plane (the shared
+    tail of every on-device expansion path): applies the serial-exact
+    accept/reject (:func:`validate_chunk_meta`), slices each lane's live
+    column prefix, trims to ``n_symbols``, and enforces the exact-bit
+    invariant."""
+    from ..format.hostcodec import _check_stream_bits
+
+    counts_np = np.asarray(lane_tot, dtype=np.int64)
+    w_inv_np = np.asarray(w_inv, dtype=np.int64)
+    w_inv_np[w_inv_np >= (1 << 30)] = -1
+    validate_chunk_meta(counts_np, w_inv_np, n_symbols)
+    plane_np = np.asarray(plane).T  # [lanes, cap_sym]
+    out = np.concatenate(
+        [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
+    )[:n_symbols]
+    if out.size < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
+        )
+    _check_stream_bits(out, table.lengths, n_body)
+    return out
 
 
 def decode_body_device_full(
@@ -416,21 +444,7 @@ def decode_body_device_full(
         )
         plane, lane_tot, w_inv = compact_symbols_device(counts, inv, syms, m, cap_sym)
     with phase("device_sym_fetch", n_symbols):
-        counts_np = np.asarray(lane_tot, dtype=np.int64)
-        w_inv_np = np.asarray(w_inv, dtype=np.int64)
-        w_inv_np[w_inv_np >= (1 << 30)] = -1
-        validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-        plane_np = np.asarray(plane).T  # [lanes, cap_sym] for row slicing
-        out = np.concatenate(
-            [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
-        )[:n_symbols]
-    if out.size < n_symbols:
-        raise ValueError(
-            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
-        )
-    from ..format.hostcodec import _check_stream_bits
-
-    _check_stream_bits(out, table.lengths, buf.size)
+        out = assemble_symbol_plane(plane, lane_tot, w_inv, n_symbols, table, buf.size)
     return out
 
 

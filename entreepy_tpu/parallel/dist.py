@@ -411,8 +411,7 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     host only fetches tiny per-lane metadata and the compacted symbol
     columns, applies the serial-exact accept/reject, and concatenates."""
     from ..format.fsm8 import expand_tensors
-    from ..format.hostcodec import _check_stream_bits
-    from ..ops.decode8 import compact_symbols_device, validate_chunk_meta
+    from ..ops.decode8 import assemble_symbol_plane, compact_symbols_device
 
     t_np, m = expand_tensors(fsm)
     t_exp = jnp.asarray(t_np, jnp.bfloat16)
@@ -425,20 +424,9 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     )
     # per-lane ops only — GSPMD keeps the lane sharding, no collectives
     plane, lane_tot, w_inv = compact_symbols_device(counts, inv, syms, m, cap_sym)
-    counts_np = np.asarray(lane_tot, dtype=np.int64)
-    w_inv_np = np.asarray(w_inv, dtype=np.int64)
-    w_inv_np[w_inv_np >= (1 << 30)] = -1
-    validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-    plane_np = np.asarray(plane).T  # [lanes, cap_sym]
-    out = np.concatenate(
-        [plane_np[l, : counts_np[l]] for l in range(plane_np.shape[0])]
-    )[:n_symbols]
-    if out.size < n_symbols:
-        raise ValueError(
-            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
-        )
-    _check_stream_bits(out, table.lengths, buf.size)
-    return out.tobytes()
+    return assemble_symbol_plane(
+        plane, lane_tot, w_inv, n_symbols, table, buf.size
+    ).tobytes()
 
 
 # Diagnostics from the last multi-host expansion (the 2-process test asserts
@@ -525,18 +513,12 @@ def _expand_multihost(states, buf, fsm, table, n_symbols, chunk_bytes) -> bytes:
 
     # int32 meta: jax's x64-disabled gather path handles int64 poorly
     meta = np.stack([per_chunk, w_inv], axis=1).astype(np.int32)
+    from ..ops.decode8 import validate_chunk_meta
+
     gmeta = np.asarray(multihost_utils.process_allgather(meta, tiled=True))
     counts_all = gmeta[:, 0].astype(np.int64)
     w_inv_all = gmeta[:, 1].astype(np.int64)
-    total = int(counts_all.sum())
-    if total < n_symbols:
-        raise ValueError(
-            f"bitstream ended early: decoded {total} of {n_symbols} symbols"
-        )
-    starts = np.cumsum(counts_all) - counts_all
-    consumed_invalid = (w_inv_all >= 0) & (starts + w_inv_all < n_symbols)
-    if consumed_invalid.any():
-        raise ValueError("invalid bitstream: unreachable trie edge")
+    validate_chunk_meta(counts_all, w_inv_all, n_symbols)
 
     n_procs = jax.process_count()
     assert n_procs * my_lanes == lanes, (n_procs, my_lanes, lanes)

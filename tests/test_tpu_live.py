@@ -33,3 +33,17 @@ def test_fsm8_kernel_on_chip():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"bit_equal": true' in r.stdout, r.stdout
+
+
+def test_device_bench_small_on_chip():
+    """Compiles + runs BOTH Pallas kernels, the fused expand kernel, and the
+    end-to-end device decode (with its exact output checksum) on a small
+    corpus on the real chip."""
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, "-u", str(ROOT / "benchmarks/device.py"), "--mb", "0.5"],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"bit_equal": true' in r.stdout, r.stdout
+    assert '"decode_e2e_ms"' in r.stdout, r.stdout

@@ -34,10 +34,11 @@ Known reference limitations (out of its contract — see SURVEY.md §2):
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass
 
 import numpy as np
+
+from ..utils.ringbuf import RingQueue
 
 MAX_CODE_LEN = 32  # reference: Code.data is u32 (encode.zig:142-144)
 ALPHABET = 256
@@ -138,27 +139,32 @@ def build_code_table(counts: np.ndarray, *, strict: bool = True) -> CodeTable:
 
     # Two-queue merge. Node i < n is the leaf for byte syms[i]; nodes >= n are
     # internal, created in merge order (weights ascend, so plain FIFOs suffice).
+    # Fixed-capacity ring queues mirror the reference's preallocated arena
+    # discipline (queue.zig:9-42, [513]?Node arena encode.zig:82): <=256
+    # leaves, <=255 internal nodes alive at once.
     weights = [int(counts[s]) for s in syms]
     children: list[tuple[int, int]] = [(-1, -1)] * n
-    leaf_q = deque(range(n))
-    sap_q: deque[int] = deque()
+    leaf_q: RingQueue[int] = RingQueue(ALPHABET)
+    sap_q: RingQueue[int] = RingQueue(ALPHABET)
+    for i in range(n):
+        leaf_q.enqueue(i)
 
     while len(leaf_q) + len(sap_q) > 1:
         picked = []
         for _ in range(2):
             if not sap_q:
-                picked.append(leaf_q.popleft())
+                picked.append(leaf_q.dequeue())
             elif not leaf_q:
-                picked.append(sap_q.popleft())
-            elif weights[leaf_q[0]] <= weights[sap_q[0]]:  # tie -> leaf wins
-                picked.append(leaf_q.popleft())
+                picked.append(sap_q.dequeue())
+            elif weights[leaf_q.peek()] <= weights[sap_q.peek()]:  # tie -> leaf wins
+                picked.append(leaf_q.dequeue())
             else:
-                picked.append(sap_q.popleft())
+                picked.append(sap_q.dequeue())
         weights.append(weights[picked[0]] + weights[picked[1]])
         children.append((picked[0], picked[1]))  # (left/0, right/1)
-        sap_q.append(len(weights) - 1)
+        sap_q.enqueue(len(weights) - 1)
 
-    root = leaf_q[0] if leaf_q else sap_q[0]
+    root = leaf_q.peek() if leaf_q else sap_q.peek()
 
     # Root-to-leaf paths, iteratively. Paths are a property of the tree shape,
     # so traversal order is irrelevant to the resulting codes.

@@ -269,6 +269,39 @@ def _device_probe_stages(et: bytes):
         "decode_e2e_MBps": round(n_out / e2e_s / 1e6, 0),
     }
 
+    # end-to-end device encode (Pallas pack + on-device flat compaction in
+    # ONE jit; checksum readback, burst-marginal) — the chip number for
+    # bytes->compressed-words, matching benchmarks/device.py.
+    from entreepy_tpu.ops.bitpack import (
+        compact_payload_flat, emitted_counts, flat_cap, payload_cap,
+    )
+
+    w0, e0_, a0, n0 = pack_blocks_pallas(bj, vj, ctj)
+    cnts = np.asarray(emitted_counts(e0_))
+    cap = payload_cap(int(cnts.max(initial=1)), w0.shape[1])
+    cap_total = flat_cap(int(cnts.sum()) + len(cnts))
+
+    @jax.jit
+    def e2e_enc(b_, v_, ct_):
+        w, e, a, nn = pack_blocks_pallas(b_, v_, ct_)
+        flat, nwords, bl = compact_payload_flat(w, e, a, nn, cap, cap_total)
+        j = jnp.arange(cap_total, dtype=jnp.int32)
+        live = (j < jnp.sum(nwords)).astype(jnp.int32)
+        fi = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        return jnp.sum((fi ^ j) * live), jnp.sum(bl)
+
+    def enc_burst(n):
+        outs = [e2e_enc(bj, vj, ctj) for _ in range(n)]
+        return sum(int(a) + int(b) for a, b in outs[-1:])
+
+    _, q1 = best_of(lambda: enc_burst(1), 1, 3)
+    _, q5 = best_of(lambda: enc_burst(5), 1, 3)
+    enc_e2e_s = max((q5 - q1) / 4, 1e-9)
+    yield {
+        "encode_e2e_ms": round(enc_e2e_s * 1e3, 2),
+        "encode_e2e_MBps": round(arr.size / enc_e2e_s / 1e6, 0),
+    }
+
 
 def main() -> int:
     data = build_corpus()

@@ -179,9 +179,12 @@ def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
 
 # Expand-kernel tiles: the per-cell VMEM must hold UNROLL_EXP staged
 # [(m+1)*S, lt] f32 lookup results plus the [(m+1)*kt, lt] output block, so
-# k tiles are shorter than the FSM kernel's.
+# k tiles are shorter than the FSM kernel's. Swept on the 5.2 MB corpus
+# (benchmarks/tune_expand.py): (128,4) 4.66 ms/pass beats (128,2) 4.87,
+# (256,2) 5.18, (256,4) 5.67, (64,4) 4.78, (64,2) 5.13; (512,2) fails to
+# compile (VMEM).
 K_TILE_EXP = 128
-UNROLL_EXP = 2
+UNROLL_EXP = 4
 
 
 def _expand_kernel(m: int, s: int):

@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--kt", type=int, default=128, help="K_TILE_EXP")
     ap.add_argument("--unroll", type=int, default=2, help="UNROLL_EXP")
     ap.add_argument("--mb", type=float, default=5.2)
+    ap.add_argument("--split", action="store_true",
+                    help="bench the split-table kernel (expand_pass_split_pallas8)")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +52,12 @@ def main() -> int:
         print("needs TPU", file=sys.stderr)
         return 1
 
-    pallas_fsm8.K_TILE_EXP = args.kt
-    pallas_fsm8.UNROLL_EXP = args.unroll
+    if args.split:
+        pallas_fsm8.K_TILE_EXPS = args.kt
+        pallas_fsm8.UNROLL_EXPS = args.unroll
+    else:
+        pallas_fsm8.K_TILE_EXP = args.kt
+        pallas_fsm8.UNROLL_EXP = args.unroll
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
     data = (src * 47)[: int(args.mb * 1e6)]
@@ -75,10 +81,24 @@ def main() -> int:
     xs = cols.T
     st = jnp.asarray(states).T.astype(jnp.int32)
 
-    @jax.jit
-    def expand_sum(xs_, st_, texp_):
-        vals = pallas_fsm8.expand_pass_pallas8(xs_, st_, texp_, m)
-        return jnp.sum(vals.astype(jnp.int64))
+    if args.split:
+        from entreepy_tpu.format.fsm8 import split_expand_tensors
+
+        ts_np, m_s, mt = split_expand_tensors(fsm)
+        assert m_s == m
+        texp = jnp.asarray(ts_np, jnp.bfloat16)
+
+        @jax.jit
+        def expand_sum(xs_, st_, texp_):
+            vals = pallas_fsm8.expand_pass_split_pallas8(xs_, st_, texp_, m, mt)
+            return jnp.sum(vals.astype(jnp.int64))
+
+    else:
+
+        @jax.jit
+        def expand_sum(xs_, st_, texp_):
+            vals = pallas_fsm8.expand_pass_pallas8(xs_, st_, texp_, m)
+            return jnp.sum(vals.astype(jnp.int64))
 
     def burst(n):
         outs = [expand_sum(xs, st, texp) for _ in range(n)]
@@ -102,6 +122,7 @@ def main() -> int:
                 {
                     "kt_exp": args.kt,
                     "unroll_exp": args.unroll,
+                    "split": args.split,
                     "m": m,
                     "S": fsm.width,
                     "pass_ms": round(pp * 1e3, 2),

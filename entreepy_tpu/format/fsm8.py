@@ -61,6 +61,11 @@ class ByteFsm:
     n_states: int  # actual internal node count (root = state 0)
     max_len: int
     min_len: int
+    # The underlying trie (split_expand_tensors rebuilds per-byte walks from
+    # it): children[s, b] = internal node on bit b or -1, leaf_sym[s, b] =
+    # symbol when that edge lands on a leaf, else -1.
+    children: np.ndarray  # int32[n_states, 2]
+    leaf_sym: np.ndarray  # int32[n_states, 2]
 
     @property
     def width(self) -> int:
@@ -168,6 +173,8 @@ def _build_byte_fsm(table: CodeTable) -> ByteFsm:
         n_states=n_int,
         max_len=table.max_len,
         min_len=table.min_len,
+        children=children,
+        leaf_sym=leaf_sym,
     )
 
 
@@ -192,6 +199,106 @@ def expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int]:
     for j in range(m):
         t[:, (1 + j) * s : (2 + j) * s] = fsm.syms[:, :, j].astype(np.float32).T
     return t, m
+
+
+def split_expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int]:
+    """Split expand table — the arithmetic-reduced form of
+    :func:`expand_tensors`.
+
+    Key decomposition: within one byte's 8-bit walk from state ``s``, only
+    the FIRST completed code depends on ``s`` — after it, the walk restarts
+    at the root, so every later symbol depends only on ``(byte, p)`` where
+    ``p`` is the bit position (1..8) where the first code completed. That
+    replaces the fused table's ``(m+1)·S``-wide contraction with
+    ``2S + 9·(mt+1)`` (mt = m-1 tail slots; p has 9 values incl. "none"):
+    for the common S=128/m=3 case, 512 -> 283 one-hot columns.
+
+    Layout (single f32[256, 2S + 9*(mt+1)] so the kernel issues ONE matmul
+    per byte; every value <= 255, exact in bf16):
+
+    * cols ``0:S``        first symbol completed, by (byte, state); 0 if none
+    * cols ``S:2S``       ``p + 16*invalid_first`` — p = bits consumed by the
+                          first code (0 = none completed), flag = the walk
+                          died on an unreachable edge before completing one
+    * cols ``2S:2S+9``    tail ``count + 16*invalid``, by (byte, p)
+    * 9-col blocks j      tail symbol slot j, by (byte, p)
+
+    Device combine (ops/pallas_fsm8._expand_split_kernel): masked S-reduce
+    the first two blocks by state, then masked 9-reduce the tail blocks by
+    the just-computed p; ``count = (p>0) + tail_count``, ``invalid = either
+    flag`` — exactly :func:`expand_tensors`'s packed outputs.
+
+    Returns (table, m, mt).
+    """
+    m = max(1, int(fsm.counts.max(initial=1)))
+    mt = max(1, m - 1)
+    s = fsm.width
+    children, leaf_sym = fsm.children, fsm.leaf_sym
+    n_int = children.shape[0]
+
+    byte_vals = np.arange(BYTE_FANOUT, dtype=np.int32)
+    bits = (byte_vals[None, :] >> (BYTE_BITS - 1 - np.arange(BYTE_BITS)[:, None])) & 1
+
+    # --- first-code walk over all (state, byte) pairs -----------------------
+    node = np.repeat(np.arange(s, dtype=np.int32), BYTE_FANOUT)  # [S*256]
+    bits_sb = np.broadcast_to(bits[:, None, :], (BYTE_BITS, s, BYTE_FANOUT)).reshape(
+        BYTE_BITS, -1
+    )
+    inv_first = node >= n_int  # padding rows: every transition invalid
+    node = np.where(inv_first, 0, node)
+    done = inv_first.copy()
+    first_sym = np.zeros(node.shape, np.int64)
+    pfx = np.zeros(node.shape, np.int64)  # bit pos after first code; 0 = none
+    for i in range(BYTE_BITS):
+        b = bits_sb[i]
+        ls = leaf_sym[node, b]
+        ch = children[node, b]
+        is_leaf = ls >= 0
+        dead = ~is_leaf & (ch < 0)
+        hit = ~done & is_leaf
+        inv_first |= ~done & dead
+        first_sym = np.where(hit, ls, first_sym)
+        pfx = np.where(hit, i + 1, pfx)
+        done |= is_leaf | dead
+        node = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
+
+    # --- tail walk over (p, byte): bits p..7 from the root ------------------
+    n_p = BYTE_BITS + 1  # p in 0..8; row 0 (no first code) stays all-zero
+    tnode = np.zeros((n_p, BYTE_FANOUT), np.int32)
+    tcnt = np.zeros((n_p, BYTE_FANOUT), np.int64)
+    tinv = np.zeros((n_p, BYTE_FANOUT), bool)
+    tsyms = np.zeros((n_p, BYTE_FANOUT, mt), np.uint8)
+    p_col = np.arange(n_p)[:, None]
+    flat = np.arange(n_p * BYTE_FANOUT)
+    for i in range(BYTE_BITS):
+        act = (p_col >= 1) & (p_col <= i)  # walk starts at bit p
+        b = np.broadcast_to(bits[i], (n_p, BYTE_FANOUT))
+        ls = leaf_sym[tnode, b]
+        ch = children[tnode, b]
+        is_leaf = ls >= 0
+        dead = ~is_leaf & (ch < 0)
+        take = act & is_leaf & ~tinv
+        tinv |= act & dead
+        idx = np.minimum(tcnt, mt - 1).ravel()
+        fs = tsyms.reshape(-1, mt)
+        fs[flat, idx] = np.where(take.ravel(), ls.ravel(), fs[flat, idx]).astype(
+            np.uint8
+        )
+        tcnt += take
+        step = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
+        tnode = np.where(act, step, tnode)
+    # Unreachable (byte, p) combos can overshoot mt symbols; no real
+    # (state, byte) pair ever selects them, clamp for cleanliness.
+    tcnt = np.minimum(tcnt, mt)
+
+    t = np.zeros((BYTE_FANOUT, 2 * s + (BYTE_BITS + 1) * (mt + 1)), np.float32)
+    t[:, 0:s] = first_sym.reshape(s, BYTE_FANOUT).T
+    t[:, s : 2 * s] = (pfx + 16 * inv_first).reshape(s, BYTE_FANOUT).T
+    t[:, 2 * s : 2 * s + n_p] = (tcnt + 16 * tinv).T
+    for j in range(mt):
+        off = 2 * s + (1 + j) * n_p
+        t[:, off : off + n_p] = tsyms[:, :, j].T
+    return t, m, mt
 
 
 def fsm8_decode_host(fsm: ByteFsm, data: np.ndarray, state: int = 0):

@@ -288,6 +288,80 @@ def _expand_mask(raw, syms, n_valid, m: int, pos0=0):
     return counts, inv, syms
 
 
+@partial(jax.jit, static_argnames=("m", "mt"))
+def _expand_scan_split(cols, states, t_split, m: int, mt: int):
+    """XLA-scan twin of pallas_fsm8.expand_pass_split_pallas8 (CPU meshes /
+    fallback): same split-table combine, same (raw, syms) outputs as
+    :func:`_expand_scan`."""
+    lanes, k = cols.shape
+    n_p = 9
+    s = (t_split.shape[1] - n_p * (mt + 1)) // 2
+    s_iota = jnp.arange(s, dtype=jnp.int32)
+    b_iota = jnp.arange(256, dtype=jnp.int32)
+    p_iota = jnp.arange(n_p, dtype=jnp.int32)
+
+    def step(_, x):
+        byte, st = x  # [lanes] each
+        oh_b = (byte[:, None] == b_iota[None, :]).astype(jnp.bfloat16)
+        tmp = jnp.dot(oh_b, t_split, preferred_element_type=jnp.float32)
+        mask = (st[:, None] == s_iota[None, :]).astype(jnp.float32)
+        fs = jnp.sum(tmp[:, :s] * mask, axis=1).astype(jnp.int32)
+        pv = jnp.sum(tmp[:, s : 2 * s] * mask, axis=1).astype(jnp.int32)
+        p = pv & 15
+        mask_p = (p[:, None] == p_iota[None, :]).astype(jnp.float32)
+        tail = tmp[:, 2 * s :].reshape(lanes, mt + 1, n_p)
+        tvals = jnp.sum(tail * mask_p[:, None, :], axis=2).astype(jnp.int32)
+        tc = tvals[:, 0]
+        inv = (pv >= 16) | (tc >= 16)
+        count = (p > 0).astype(jnp.int32) + (tc & 15)
+        raw = jnp.where(inv, 16, count)
+        slots = [fs] + [tvals[:, 1 + j] for j in range(m - 1)]
+        return None, (raw, jnp.stack(slots, axis=0))  # [lanes], [m, lanes]
+
+    _, (raw, syms) = jax.lax.scan(step, None, (cols.T, states.T.astype(jnp.int32)))
+    return raw, syms.astype(jnp.uint8)  # [K, lanes], [K, m, lanes]
+
+
+def expand_pass_split(cols, states, t_split, n_valid, m: int, mt: int, pos0=0):
+    """Split-table variant of :func:`expand_pass_device` (same outputs):
+    ``2S + 9(mt+1)``-wide contraction instead of ``(m+1)S`` — see
+    ``format.fsm8.split_expand_tensors`` for the decomposition."""
+    if _use_pallas():
+        try:
+            from .pallas_fsm8 import expand_pass_split_pallas8
+
+            vals = expand_pass_split_pallas8(
+                cols.T, states.T.astype(jnp.int32), t_split, m, mt
+            )  # [K, m+1, lanes]
+            raw = vals[:, 0, :]
+            syms = vals[:, 1:, :].astype(jnp.uint8)
+            return _expand_mask(raw, syms, n_valid, m, pos0)
+        except ValueError:  # tile-incompatible shapes
+            pass
+    raw, syms = _expand_scan_split(cols, states, t_split, m, mt)
+    return _expand_mask(raw, syms, n_valid, m, pos0)
+
+
+def build_expand(fsm: ByteFsm):
+    """Expand tables for the current mode -> (table bf16, m, mt).
+    ``mt`` is None in fused mode (ENTREEPY_EXPAND=fused; default split —
+    measured faster on v5e, see ops/pallas_fsm8.py tile notes)."""
+    from ..format.fsm8 import expand_tensors, split_expand_tensors
+
+    if os.environ.get("ENTREEPY_EXPAND") == "fused":
+        t, m = expand_tensors(fsm)
+        return jnp.asarray(t, jnp.bfloat16), m, None
+    t, m, mt = split_expand_tensors(fsm)
+    return jnp.asarray(t, jnp.bfloat16), m, mt
+
+
+def run_expand(cols, states, t, n_valid, m: int, mt, pos0=0):
+    """Dispatch on the :func:`build_expand` table kind."""
+    if mt is None:
+        return expand_pass_device(cols, states, t, n_valid, m, pos0)
+    return expand_pass_split(cols, states, t, n_valid, m, mt, pos0)
+
+
 def expand_pass_device(cols, states, t_exp, n_valid, m: int, pos0=0):
     """Per-byte symbol emission ON DEVICE (no serial chain: states are the
     decode passes' precomputed output, so every byte's lookup is independent
@@ -407,7 +481,6 @@ def decode_body_device_full(
     """
     if n_symbols == 0:
         return np.zeros(0, dtype=np.uint8)
-    from ..format.fsm8 import expand_tensors
     from ..utils.trace import phase
 
     fsm = fsm or build_byte_fsm(table)
@@ -432,11 +505,10 @@ def decode_body_device_full(
         out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
         _check_stream_bits(out, table.lengths, buf.size)
         return out
-    t_np, m = expand_tensors(fsm)
-    t_exp = jnp.asarray(t_np, jnp.bfloat16)
+    t_exp, m, mt = build_expand(fsm)
     with phase("device_expand", n_symbols):
-        counts, inv, syms = expand_pass_device(
-            cols, states, t_exp, jnp.int32(buf.size), m
+        counts, inv, syms = run_expand(
+            cols, states, t_exp, jnp.int32(buf.size), m, mt
         )
         lane_tot_host = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch
         cap_sym = min(

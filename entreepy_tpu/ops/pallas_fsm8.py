@@ -256,6 +256,107 @@ def expand_pass_pallas8(xs, states_T, t_exp, m: int, interpret: bool = False):
     return out.reshape(k, m + 1, lanes)
 
 
+# Split-expand tiles (kernel below): the staged lookup is [2S+9(mt+1), lt]
+# f32 per unrolled byte — roughly half the fused kernel's [(m+1)S, lt] at
+# S=128/m=3 — so the same (128,4) tiling leaves VMEM headroom.
+K_TILE_EXPS = 128
+UNROLL_EXPS = 4
+N_P = 9  # first-code end positions: 1..8 plus 0 = "no code completed"
+
+
+def _expand_split_kernel(m: int, mt: int, s: int):
+    """Split-table expand (format.fsm8.split_expand_tensors): ONE
+    [256, 2S+9(mt+1)] one-hot contraction per byte, then a masked S-reduce
+    by state for (first symbol, p+16*inv1) and masked 9-reduces by p for the
+    tail (count+16*inv2, slots). Emits the same packed rows as
+    _expand_kernel: row 0 = count | 16*invalid, rows 1.. = symbol slots."""
+
+    def kernel(x_ref, st_ref, tbl_ref, out_ref):
+        kt, lt = x_ref.shape
+        b_col = jax.lax.broadcasted_iota(jnp.int32, (N_INPUT, lt), 0)
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (s, lt), 0)
+        p_col = jax.lax.broadcasted_iota(jnp.int32, (N_P, lt), 0)
+
+        def body(q, _):
+            ds = []
+            for u in range(UNROLL_EXPS):
+                x = x_ref[pl.ds(q * UNROLL_EXPS + u, 1), :]
+                ohB = (x == b_col).astype(jnp.bfloat16)
+                ds.append(
+                    jax.lax.dot_general(
+                        tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (2S + 9*(mt+1), lt)
+                )
+            for u in range(UNROLL_EXPS):
+                st = st_ref[pl.ds(q * UNROLL_EXPS + u, 1), :]
+                mask_s = (st == s_col).astype(jnp.float32)  # (S, lt)
+                d = ds[u]
+                fs = jnp.sum(
+                    jax.lax.slice_in_dim(d, 0, s, axis=0) * mask_s,
+                    axis=0, keepdims=True,
+                ).astype(jnp.int32)
+                pv = jnp.sum(
+                    jax.lax.slice_in_dim(d, s, 2 * s, axis=0) * mask_s,
+                    axis=0, keepdims=True,
+                ).astype(jnp.int32)
+                p = pv & 15
+                mask_p = (p == p_col).astype(jnp.float32)  # (9, lt)
+                tc = jnp.sum(
+                    jax.lax.slice_in_dim(d, 2 * s, 2 * s + N_P, axis=0) * mask_p,
+                    axis=0, keepdims=True,
+                ).astype(jnp.int32)
+                inv = ((pv >= 16) | (tc >= 16)).astype(jnp.int32)
+                count = ((p > 0).astype(jnp.int32) + (tc & 15))
+                row0 = jnp.where(inv > 0, 16, count)
+                base = (q * UNROLL_EXPS + u) * (m + 1)
+                out_ref[pl.ds(base, 1), :] = row0
+                out_ref[pl.ds(base + 1, 1), :] = fs
+                for j in range(min(mt, m - 1)):
+                    off = 2 * s + (1 + j) * N_P
+                    row = jnp.sum(
+                        jax.lax.slice_in_dim(d, off, off + N_P, axis=0) * mask_p,
+                        axis=0, keepdims=True,
+                    ).astype(jnp.int32)
+                    out_ref[pl.ds(base + 2 + j, 1), :] = row
+            return 0
+
+        jax.lax.fori_loop(0, kt // UNROLL_EXPS, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("m", "mt", "interpret"))
+def expand_pass_split_pallas8(xs, states_T, t_split, m: int, mt: int,
+                              interpret: bool = False):
+    """Split-table twin of :func:`expand_pass_pallas8`: xs int32[K, lanes],
+    states_T int32[K, lanes], t_split bf16[256, 2S+9(mt+1)]
+    (format.fsm8.split_expand_tensors). Returns vals int32[K, m+1, lanes]
+    in the exact expand_pass_pallas8 layout."""
+    k, lanes = xs.shape
+    s = (t_split.shape[1] - N_P * (mt + 1)) // 2
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE_EXPS, k)
+    if lanes % lt or k % kt or kt % UNROLL_EXPS:
+        raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
+    grid = (lanes // lt, k // kt)
+    out = pl.pallas_call(
+        _expand_split_kernel(m, mt, s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # split expand table
+        ],
+        out_specs=pl.BlockSpec(
+            (kt * (m + 1), lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k * (m + 1), lanes), jnp.int32),
+        interpret=interpret,
+    )(xs, states_T, t_split)
+    return out.reshape(k, m + 1, lanes)
+
+
 def unpack_states_packed(packed, k: int):
     """int32[K/4, lanes] (4 pre-states MSB-first per word) -> uint8[K, lanes]
     (elementwise shifts; no gathers)."""

@@ -241,16 +241,17 @@ def _compact_fn(mesh: Mesh, axis: str, cap: int, cap_total_local: int):
 
 
 @lru_cache(maxsize=None)
-def _expand_fn(mesh: Mesh, axis: str, m: int):
+def _expand_fn(mesh: Mesh, axis: str, m: int, mt: int | None):
     """Per-shard on-device symbol emission (Pallas on real TPUs): every
     shard expands its own lanes' states — no collectives; ``pos0`` offsets
-    the real-byte mask to the shard's global byte position."""
+    the real-byte mask to the shard's global byte position. ``mt`` selects
+    the split expand table (None = fused), see ops/decode8.build_expand."""
 
     def local(cols_l, states_l, t_exp, n_valid):
-        from ..ops.decode8 import expand_pass_device
+        from ..ops.decode8 import run_expand
 
         base = jax.lax.axis_index(axis) * cols_l.shape[0] * cols_l.shape[1]
-        return expand_pass_device(cols_l, states_l, t_exp, n_valid[0], m, pos0=base)
+        return run_expand(cols_l, states_l, t_exp, n_valid[0], m, mt, pos0=base)
 
     return jax.jit(
         shard_map(
@@ -410,12 +411,12 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     their own chunks' output bytes (Pallas expand kernel on real TPUs); the
     host only fetches tiny per-lane metadata and the compacted symbol
     columns, applies the serial-exact accept/reject, and concatenates."""
-    from ..format.fsm8 import expand_tensors
-    from ..ops.decode8 import assemble_symbol_plane, compact_symbols_device
+    from ..ops.decode8 import (
+        assemble_symbol_plane, build_expand, compact_symbols_device,
+    )
 
-    t_np, m = expand_tensors(fsm)
-    t_exp = jnp.asarray(t_np, jnp.bfloat16)
-    counts, inv, syms = _expand_fn(mesh, axis, m)(
+    t_exp, m, mt = build_expand(fsm)
+    counts, inv, syms = _expand_fn(mesh, axis, m, mt)(
         cols, states, t_exp, jnp.full((1,), buf.size, dtype=jnp.int32)
     )
     lane_tot0 = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch

@@ -291,3 +291,98 @@ def test_validate_chunk_meta_semantics():
         validate_chunk_meta(counts, w, 16)
     with pytest.raises(ValueError, match="ended early"):
         validate_chunk_meta(counts, none, 31)
+
+
+# --- split expand tables (format.fsm8.split_expand_tensors) ---
+
+
+def _expand_both_ways(data: bytes, chunk_bytes: int):
+    """Run the fused and split expand scans on the same decode state
+    sequence; return both (counts, inv, syms) triples."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.format.fsm8 import (
+        build_byte_fsm, expand_tensors, split_expand_tensors,
+    )
+    from entreepy_tpu.ops import decode8
+
+    et = compress_host(data)
+    hdr = parse_header(et)
+    fsm = build_byte_fsm(hdr.table)
+    buf = np.frombuffer(et, np.uint8)[hdr.body_start :]
+    lanes = max(1, -(-buf.size // chunk_bytes))
+    padded = np.zeros(lanes * chunk_bytes, np.uint8)
+    padded[: buf.size] = buf
+    cols = decode8.bytes_to_cols(padded, lanes, chunk_bytes)
+    states, unsynced = decode8.fsm8_decode(
+        cols, decode8._table_T_bf16(fsm), jnp.int32(lanes)
+    )
+    assert not bool(unsynced)
+    tf, m = expand_tensors(fsm)
+    ts, m2, mt = split_expand_tensors(fsm)
+    assert m2 == m
+    nv = jnp.int32(buf.size)
+    fused = decode8.expand_pass_device(
+        cols, states, jnp.asarray(tf, jnp.bfloat16), nv, m
+    )
+    split = decode8.expand_pass_split(
+        cols, states, jnp.asarray(ts, jnp.bfloat16), nv, m, mt
+    )
+    return fused, split, (cols, states, ts, m, mt)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"the quick brown fox jumps over the lazy dog " * 40,
+        (b"a" * 500 + b"bcd") * 9,  # skewed: multi-symbol bytes, m near 8
+        bytes(range(256)) * 9,  # full alphabet
+    ],
+)
+def test_split_expand_matches_fused(data):
+    fused, split, _ = _expand_both_ways(data, chunk_bytes=64)
+    for f, s in zip(fused, split):
+        assert np.array_equal(np.asarray(f), np.asarray(s))
+
+
+def test_split_expand_pallas_interpret_matches_scan():
+    """The Pallas split kernel (interpret mode) must equal the XLA scan
+    twin bit-for-bit on a tile-aligned shape."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops import decode8
+    from entreepy_tpu.ops.pallas_fsm8 import expand_pass_split_pallas8
+
+    data = (b"interleaved split-table expansion " * 120)[:4096]
+    _, split, (cols, states, ts, m, mt) = _expand_both_ways(data, chunk_bytes=8)
+    lanes, k = cols.shape
+    # pad lanes to the kernel's lane tile? use small shapes directly: the
+    # wrapper requires lanes % lt == 0 with lt = min(1024, lanes); any lanes
+    # works when lanes <= 1024 and k % kt == 0 with kt = min(128, k).
+    vals = expand_pass_split_pallas8(
+        cols.T, states.T.astype(jnp.int32), jnp.asarray(ts, jnp.bfloat16),
+        m, mt, interpret=True,
+    )
+    raw = vals[:, 0, :]
+    syms = vals[:, 1:, :].astype(jnp.uint8)
+    got = decode8._expand_mask(raw, syms, jnp.int32(lanes * k), m)
+    # n_valid=all here; compare against scan run with the same n_valid
+    raw2, syms2 = decode8._expand_scan_split(
+        cols, states, jnp.asarray(ts, jnp.bfloat16), m, mt
+    )
+    want = decode8._expand_mask(raw2, syms2, jnp.int32(lanes * k), m)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fused_mode_env_knob(monkeypatch, macbeth):
+    from entreepy_tpu.format.fsm8 import build_byte_fsm
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.ops.decode8 import build_expand
+
+    hdr = parse_header(compress_host(macbeth))
+    monkeypatch.setenv("ENTREEPY_EXPAND", "fused")
+    t, m, mt = build_expand(build_byte_fsm(hdr.table))
+    assert mt is None
+    assert _roundtrip_full(macbeth) == macbeth

@@ -229,13 +229,13 @@ def _device_probe_stages(et: bytes):
     # end-to-end device decode (FSM passes + on-device expansion +
     # compaction in ONE jit; checksum readback, dispatch-corrected) — the
     # honest chip number for compressed->bytes, not just per-pass.
-    from entreepy_tpu.format.fsm8 import expand_tensors
-    from entreepy_tpu.ops.decode8 import compact_symbols_device, expand_pass_device
+    from entreepy_tpu.ops.decode8 import (
+        build_expand, compact_symbols_device, run_expand,
+    )
 
-    t_np, m = expand_tensors(fsm)
-    texp = jnp.asarray(t_np, jnp.bfloat16)
+    texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
     s0, _u = decode_fn(cols, tbl, jnp.int32(n_real))
-    counts0, _, _ = expand_pass_device(cols, s0, texp, jnp.int32(buf.size), m)
+    counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
     lane_tot0 = np.asarray(jnp.sum(counts0, axis=0))
     cap_sym = min(-(-int(lane_tot0.max(initial=1)) // 128) * 128, chunk_bytes * m)
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
@@ -243,7 +243,7 @@ def _device_probe_stages(et: bytes):
     @jax.jit
     def e2e(cols_, tbl_, texp_):
         s, u = decode_fn(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = expand_pass_device(cols_, s, texp_, jnp.int32(buf.size), m)
+        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
         plane, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
         starts = (jnp.cumsum(lt) - lt)[None, :]
         j = jnp.arange(cap_sym, dtype=jnp.int32)[:, None]

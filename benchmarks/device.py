@@ -224,12 +224,12 @@ def main() -> int:
     # The output is verified by an exact position-weighted checksum readback
     # (a value-dependent fetch — through the tunnel a 5 MB output fetch
     # would swamp compute; correctness is separately pinned by tests).
-    from entreepy_tpu.format.fsm8 import expand_tensors
-    from entreepy_tpu.ops.decode8 import compact_symbols_device, expand_pass_device
+    from entreepy_tpu.ops.decode8 import (
+        build_expand, compact_symbols_device, run_expand,
+    )
 
-    t_np, m = expand_tensors(fsm)
-    texp = jnp.asarray(t_np, jnp.bfloat16)
-    counts0, _, _ = expand_pass_device(cols, s2, texp, jnp.int32(buf.size), m)
+    texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
+    counts0, _, _ = run_expand(cols, s2, texp, jnp.int32(buf.size), m, mt)
     lane_tot0 = np.asarray(jnp.sum(counts0, axis=0))
     cap_sym = min(-(-int(lane_tot0.max(initial=1)) // 128) * 128, chunk * m)
     N_SYM = len(data)  # checksum only real output positions (the final body
@@ -239,7 +239,7 @@ def main() -> int:
     @jax.jit
     def e2e(cols_, tbl_, texp_):
         s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = expand_pass_device(cols_, s, texp_, jnp.int32(buf.size), m)
+        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
         plane, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
         # position-weighted checksum over the live, consumed prefix
         starts = (jnp.cumsum(lt) - lt)[None, :]

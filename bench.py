@@ -180,9 +180,11 @@ def _device_probe_stages(et: bytes):
         return jax.lax.fori_loop(0, n, body, entries)
 
     e0 = jnp.zeros(lanes, jnp.int32)
+    # 40-pass spread (see benchmarks/device.py): a 10-pass difference is
+    # inside the tunnel-overhead variance and once produced >150% MFU.
     _, t1 = best_of(lambda: int(jnp.sum(emit_n(xs, tbl, e0, 1))), 1, 3)
-    _, t11 = best_of(lambda: int(jnp.sum(emit_n(xs, tbl, e0, 11))), 1, 3)
-    pass_s = max((t11 - t1) / 10, 1e-9)
+    _, t41 = best_of(lambda: int(jnp.sum(emit_n(xs, tbl, e0, 41))), 1, 3)
+    pass_s = max((t41 - t1) / 40, 1e-9)
     macs = buf.size * fsm.width * 256
     yield {
         "pass_ms": round(pass_s * 1e3, 3),
@@ -230,26 +232,29 @@ def _device_probe_stages(et: bytes):
     # compaction in ONE jit; checksum readback, dispatch-corrected) — the
     # honest chip number for compressed->bytes, not just per-pass.
     from entreepy_tpu.ops.decode8 import (
-        build_expand, compact_symbols_device, run_expand,
+        build_expand, compact_symbols_device, run_expand, sym_cap,
     )
 
     texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
     s0, _u = decode_fn(cols, tbl, jnp.int32(n_real))
     counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
-    lane_tot0 = np.asarray(jnp.sum(counts0, axis=0))
-    cap_sym = min(-(-int(lane_tot0.max(initial=1)) // 128) * 128, chunk_bytes * m)
+    cap_sym = sym_cap(counts0, m, chunk_bytes)  # per-subgroup cap (tiny fetch)
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
 
     @jax.jit
     def e2e(cols_, tbl_, texp_):
         s, u = decode_fn(cols_, tbl_, jnp.int32(n_real))
         c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        plane, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
-        starts = (jnp.cumsum(lt) - lt)[None, :]
-        j = jnp.arange(cap_sym, dtype=jnp.int32)[:, None]
-        gpos = starts + j  # plane is [cap_sym, lanes]
-        live = ((j < lt[None, :]) & (gpos < N_SYM)).astype(jnp.int32)
-        return jnp.sum((plane.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
+        plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+        # plane is a [Gs, cap_sym, lanes] grid of mini-lane segments
+        gs = mt_.shape[0]
+        pl3 = plane.reshape(gs, cap_sym, -1)
+        lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
+        mini_start = (jnp.cumsum(mt_, axis=0) - mt_)[:, None, :]
+        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
+        gpos = lane_start + mini_start + j
+        live = ((j < mt_[:, None, :]) & (gpos < N_SYM)).astype(jnp.int32)
+        return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
 
     # Marginal e2e time by pipelining N independent async launches and
     # syncing once: per-launch tunnel overhead (~30-40 ms on complex
@@ -261,8 +266,8 @@ def _device_probe_stages(et: bytes):
         return sum(int(a) + int(b) for a, b in outs[-1:])
 
     _, t1 = best_of(lambda: e2e_burst(1), 1, 3)
-    _, t5 = best_of(lambda: e2e_burst(5), 1, 3)
-    e2e_s = max((t5 - t1) / 4, 1e-9)
+    _, t13 = best_of(lambda: e2e_burst(13), 1, 3)
+    e2e_s = max((t13 - t1) / 12, 1e-9)
     n_out = hdr.body_len
     yield {
         "decode_e2e_ms": round(e2e_s * 1e3, 2),
@@ -273,13 +278,13 @@ def _device_probe_stages(et: bytes):
     # ONE jit; checksum readback, burst-marginal) — the chip number for
     # bytes->compressed-words, matching benchmarks/device.py.
     from entreepy_tpu.ops.bitpack import (
-        compact_payload_flat, emitted_counts, flat_cap, payload_cap,
+        compact_payload_flat, flat_cap, grouped_counts, payload_cap_g,
     )
 
     w0, e0_, a0, n0 = pack_blocks_pallas(bj, vj, ctj)
-    cnts = np.asarray(emitted_counts(e0_))
-    cap = payload_cap(int(cnts.max(initial=1)), w0.shape[1])
-    cap_total = flat_cap(int(cnts.sum()) + len(cnts))
+    cnts_g = np.asarray(grouped_counts(e0_))
+    cap = payload_cap_g(int(cnts_g.max(initial=1)), w0.shape[1])
+    cap_total = flat_cap(int(cnts_g.sum()) + cnts_g.shape[0])
 
     @jax.jit
     def e2e_enc(b_, v_, ct_):
@@ -295,7 +300,7 @@ def _device_probe_stages(et: bytes):
         return sum(int(a) + int(b) for a, b in outs[-1:])
 
     _, q1 = best_of(lambda: enc_burst(1), 1, 3)
-    _, q5 = best_of(lambda: enc_burst(5), 1, 3)
+    _, q5 = best_of(lambda: enc_burst(13), 1, 3)
     enc_e2e_s = max((q5 - q1) / 4, 1e-9)
     yield {
         "encode_e2e_ms": round(enc_e2e_s * 1e3, 2),

@@ -34,7 +34,7 @@ def main() -> int:
     from entreepy_tpu.format.huffman import build_code_table, histogram
     from entreepy_tpu.ops.bitpack import (
         code_table_cols, compact_payload_device, compact_payload_flat,
-        emitted_counts, flat_cap, payload_cap,
+        emitted_counts, flat_cap, grouped_counts, payload_cap, payload_cap_g,
     )
     from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
     from entreepy_tpu.utils.stitch import split_blocks
@@ -59,9 +59,11 @@ def main() -> int:
     w, e, a, nn = pack_blocks_pallas(b, v, ct)
     cnts = np.asarray(emitted_counts(e))
     cap = payload_cap(int(cnts.max(initial=1)), w.shape[1])
+    cg = np.asarray(grouped_counts(e))
+    cap_g = payload_cap_g(int(cg.max(initial=1)), w.shape[1])
     cap_total = flat_cap(int(cnts.sum()) + len(cnts))
     print(
-        f"lanes={w.shape[0]} steps={w.shape[1]} cap={cap} "
+        f"lanes={w.shape[0]} steps={w.shape[1]} cap={cap} cap_g={cap_g} "
         f"cap_total={cap_total}",
         file=sys.stderr, flush=True,
     )
@@ -81,7 +83,7 @@ def main() -> int:
     @jax.jit
     def pack_s2(b_, v_, ct_):
         w_, e_, a_, n_ = pack_blocks_pallas(b_, v_, ct_)
-        flat, nw, bl = compact_payload_flat(w_, e_, a_, n_, cap, cap_total)
+        flat, nw, bl = compact_payload_flat(w_, e_, a_, n_, cap_g, cap_total)
         fi = jax.lax.bitcast_convert_type(flat, jnp.int32)
         return jnp.sum(fi & 1) + jnp.sum(bl)
 
@@ -90,8 +92,8 @@ def main() -> int:
         return int(outs[-1])
 
     out = {}
-    for name, fn in [("pack", pack_only), ("pack_s1", pack_s1),
-                     ("pack_s1_s2", pack_s2)]:
+    for name, fn in [("pack", pack_only), ("pack_s1_old", pack_s1),
+                     ("pack_flat_new", pack_s2)]:
         burst(fn, 1)  # compile + warm
         best = 1e9
         for _ in range(3):
@@ -102,8 +104,8 @@ def main() -> int:
             per = (t2 - t1 - (t1 - t0)) / 4
             best = min(best, per)
         out[name + "_ms"] = round(best * 1e3, 2)
-    out["s1_ms"] = round(out["pack_s1_ms"] - out["pack_ms"], 2)
-    out["s2_ms"] = round(out["pack_s1_s2_ms"] - out["pack_s1_ms"], 2)
+    out["s1_old_ms"] = round(out["pack_s1_old_ms"] - out["pack_ms"], 2)
+    out["flat_new_ms"] = round(out["pack_flat_new_ms"] - out["pack_ms"], 2)
     print(json.dumps(out), flush=True)
     return 0
 

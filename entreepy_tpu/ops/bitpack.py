@@ -179,36 +179,94 @@ def flat_cap(total_words: int, round_to: int = FLAT_ROUND) -> int:
     return max(round_to, -(-total_words // round_to) * round_to)
 
 
-@partial(jax.jit, static_argnames=("cap", "cap_total"))
-def compact_payload_flat(words, emitted, acc, nbits, cap: int, cap_total: int):
+SUB_STEPS = 256  # stage-1 subgroup width (slots); must divide the block size
+CAP_G_ROUND = 16  # subgroup payload caps round up to this (bounds recompiles)
+
+
+def sub_for(steps: int) -> int:
+    """Stage-1 subgroup width for a ``steps``-slot dense grid: XLA TPU sort
+    cost grows superlinearly with the sorted width (measured on v5e:
+    key-val over 4096-wide rows is ~6x the same slots at 256), so the
+    per-lane compaction runs on 256-slot subgroups whenever they tile."""
+    return SUB_STEPS if steps % SUB_STEPS == 0 else steps
+
+
+def grouped_counts(emitted: jax.Array) -> jax.Array:
+    """Per-(lane, subgroup) emitted-word counts int32[lanes, G] — the tiny
+    sizing fetch for :func:`compact_payload_flat`'s static subgroup cap."""
+    lanes, steps = emitted.shape
+    sub = sub_for(steps)
+    return jnp.sum(emitted.reshape(lanes, steps // sub, sub).astype(jnp.int32), axis=2)
+
+
+def payload_cap_g(max_g: int, steps: int) -> int:
+    """Static subgroup payload width: covers the fullest subgroup, rounded
+    to CAP_G_ROUND columns (the final partial word rides stage 2's extra
+    per-lane slot, so no +1 here)."""
+    sub = sub_for(steps)
+    return min(-(-max(max_g, 1) // CAP_G_ROUND) * CAP_G_ROUND, sub)
+
+
+@partial(jax.jit, static_argnames=("cap_g", "cap_total"))
+def compact_payload_flat(words, emitted, acc, nbits, cap_g: int, cap_total: int):
     """Two-stage device compaction to ONE flat word stream.
 
-    Stage 1 (:func:`compact_payload_device`): per-lane sort -> [lanes, cap]
-    rows (emitted words in order, final partial word at column ``count``).
-    Stage 2: a 1-D sort over the [lanes*cap] grid packs each lane's leading
-    ``count+1`` words into a single flat array in lane order — so the
-    fetched volume is the compressed stream + one rounding, independent of
-    lane-count bucketing and per-lane cap slack.
+    Stage 1: per-(lane, 256-slot subgroup) key-val sort packs emitted words
+    to each subgroup's front -> [lanes, G, cap_g]. Subgrouping is the whole
+    trick: the same slots sorted 4096-wide cost ~6x as much on v5e (sort
+    networks grow ~log^2(width)), and scatters would serialize.
+    Stage 2: a 1-D sort over the [lanes*(G*cap_g+1)] grid (one extra slot
+    per lane carries the final partial word) packs every lane's live words
+    into a single flat array in lane order — the fetched volume is the
+    compressed stream + one rounding, independent of lane bucketing and
+    subgroup cap slack.
+
+    ``cap_g`` must cover the fullest subgroup (size with
+    :func:`grouped_counts` + :func:`payload_cap_g`); if it does not, the
+    returned ``bit_lens`` are poisoned to -1 so callers fail loudly rather
+    than silently dropping words.
 
     Returns (flat uint32[cap_total], nwords int32[lanes] = count+1 per lane,
     bit_lens int32[lanes]). Lane l's words live at
     ``flat[sum(nwords[:l]) : sum(nwords[:l+1])]``.
     """
-    payload, bit_lens = compact_payload_device(words, emitted, acc, nbits, cap)
-    lanes = words.shape[0]
-    nwords = (bit_lens - nbits) // 32 + 1  # emitted count + the partial word
-    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    live = (j < nwords[:, None]).reshape(-1)
-    n = lanes * cap
+    lanes, steps = words.shape
+    sub = sub_for(steps)
+    g = steps // sub
+    cg = min(cap_g, sub)
+    w3 = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(lanes, g, sub)
+    e3 = emitted.reshape(lanes, g, sub)
+    cum = jnp.cumsum(e3.astype(jnp.int32), axis=2)
+    iota = jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+    key = jnp.where(e3, cum - 1, sub + iota)
+    _, vs = jax.lax.sort_key_val(key, jnp.where(e3, w3, 0), dimension=2)
+    pay = vs[:, :, :cg]  # [lanes, G, cap_g]
+    counts_g = cum[:, :, -1]  # [lanes, G]
+    counts = jnp.sum(counts_g, axis=1)  # [lanes]
+    overflow = jnp.max(counts_g) > cg
+
+    acc_col = jax.lax.bitcast_convert_type(acc, jnp.int32)[:, None]
+    arr = jnp.concatenate([pay.reshape(lanes, g * cg), acc_col], axis=1)
+    jj = jnp.arange(cg, dtype=jnp.int32)[None, None, :]
+    live = jnp.concatenate(
+        [
+            (jj < counts_g[:, :, None]).reshape(lanes, g * cg),
+            jnp.ones((lanes, 1), bool),
+        ],
+        axis=1,
+    ).reshape(-1)
+    n = lanes * (g * cg + 1)
     gcum = jnp.cumsum(live.astype(jnp.int32))
     gi = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(live, gcum - 1, n + gi)
-    vals = jnp.where(live, jax.lax.bitcast_convert_type(payload, jnp.int32).reshape(-1), 0)
-    _, svals = jax.lax.sort_key_val(key, vals)
+    key2 = jnp.where(live, gcum - 1, n + gi)
+    vals = jnp.where(live, arr.reshape(-1), 0)
+    _, svals = jax.lax.sort_key_val(key2, vals)
     take = min(cap_total, n)
     flat = svals[:take]
     if cap_total > n:
         flat = jnp.pad(flat, (0, cap_total - n))
+    nwords = counts + 1  # emitted count + the partial word
+    bit_lens = jnp.where(overflow, -1, counts * 32 + nbits)
     return jax.lax.bitcast_convert_type(flat, jnp.uint32), nwords, bit_lens
 
 

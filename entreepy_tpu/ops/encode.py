@@ -26,11 +26,11 @@ from .bitpack import (
     HIST_COLS,
     code_table_cols,
     compact_payload_flat,
-    emitted_counts,
     flat_cap,
+    grouped_counts,
     histogram_device,
     pack_blocks_jit,
-    payload_cap,
+    payload_cap_g,
 )
 
 DEFAULT_BLOCK_BYTES = 4096  # scan length; lanes = input_size / block_bytes
@@ -92,11 +92,11 @@ def encode_blocks_device(
     # Compact ON DEVICE: only the per-block counts (4 B/block) and the
     # ~compressed-size flat payload cross D2H, not the 4 B-per-input-byte
     # dense slots.
-    counts = np.asarray(emitted_counts(emitted))
-    cap = payload_cap(int(counts.max(initial=0)), block_bytes)
-    cap_total = flat_cap(int(counts.sum()) + counts.size)
+    counts_g = np.asarray(grouped_counts(emitted))
+    cap_g = payload_cap_g(int(counts_g.max(initial=0)), block_bytes)
+    cap_total = flat_cap(int(counts_g.sum()) + counts_g.shape[0])
     flat, nwords, bit_lens = compact_payload_flat(
-        words, emitted, acc, nbits, cap, cap_total
+        words, emitted, acc, nbits, cap_g, cap_total
     )
     return (
         np.asarray(flat),

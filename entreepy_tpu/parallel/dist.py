@@ -43,10 +43,10 @@ from ..format.huffman import build_code_table
 from ..ops.bitpack import (
     code_table_cols,
     compact_payload_flat,
-    emitted_counts,
     flat_cap,
+    grouped_counts,
     pack_blocks_scan,
-    payload_cap,
+    payload_cap_g,
 )
 from ..ops.decode8 import (
     DEFAULT_CHUNK_BYTES,
@@ -187,13 +187,14 @@ def compress_sharded(
     # 4 B-per-input-byte slots never leave the chips. Off-device movement is
     # the per-block counts (4 B/block), then each shard's ~compressed-size
     # flat payload + per-block word counts/bit lengths.
-    counts = _fetch(emitted_counts(emitted))
+    counts_g = _fetch(grouped_counts(emitted))
+    counts = counts_g.sum(axis=1)
     per_shard = counts.reshape(n_dev, lanes_local)
-    cap = payload_cap(int(counts.max(initial=0)), block_bytes)
+    cap_g = payload_cap_g(int(counts_g.max(initial=0)), block_bytes)
     cap_total_local = flat_cap(
         int((per_shard.sum(axis=1) + lanes_local).max()), round_to=1024
     )
-    flat, nwords, bit_lens = _compact_fn(mesh, axis, cap, cap_total_local)(
+    flat, nwords, bit_lens = _compact_fn(mesh, axis, cap_g, cap_total_local)(
         words, emitted, acc, nbits
     )
     flat_np = _fetch(flat)
@@ -201,7 +202,7 @@ def compress_sharded(
     bl = _fetch(bit_lens).astype(np.int64)
     last_encode_stats.clear()
     last_encode_stats.update(
-        fetched_bytes=flat_np.nbytes + nw.nbytes + bl.nbytes + counts.nbytes,
+        fetched_bytes=flat_np.nbytes + nw.nbytes + bl.nbytes + counts_g.nbytes,
         dense_bytes=sum(int(np.prod(a.shape)) * a.dtype.itemsize
                         for a in (words, emitted)),
         payload_bits=int(bl.sum()),
@@ -412,21 +413,20 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     host only fetches tiny per-lane metadata and the compacted symbol
     columns, applies the serial-exact accept/reject, and concatenates."""
     from ..ops.decode8 import (
-        assemble_symbol_plane, build_expand, compact_symbols_device,
+        assemble_symbol_plane, build_expand, compact_symbols_device, sym_cap,
     )
 
     t_exp, m, mt = build_expand(fsm)
     counts, inv, syms = _expand_fn(mesh, axis, m, mt)(
         cols, states, t_exp, jnp.full((1,), buf.size, dtype=jnp.int32)
     )
-    lane_tot0 = np.asarray(jnp.sum(counts, axis=0))  # tiny sizing fetch
-    cap_sym = min(
-        -(-int(lane_tot0.max(initial=1)) // 128) * 128, cols.shape[1] * m
-    )
+    cap_sym = sym_cap(counts, m, cols.shape[1])  # tiny sizing fetch
     # per-lane ops only — GSPMD keeps the lane sharding, no collectives
-    plane, lane_tot, w_inv = compact_symbols_device(counts, inv, syms, m, cap_sym)
+    plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
+        counts, inv, syms, m, cap_sym
+    )
     return assemble_symbol_plane(
-        plane, lane_tot, w_inv, n_symbols, table, buf.size
+        plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size
     ).tobytes()
 
 

@@ -103,19 +103,23 @@ def test_compact_payload_flat_property():
         _assemble_payloads_np,
         compact_payload_flat,
         flat_cap,
-        payload_cap,
+        grouped_counts,
+        payload_cap_g,
+        sub_for,
     )
 
     rng = np.random.default_rng(21)
-    lanes, steps = 16, 256
+    lanes, steps = 16, 512  # two 256-slot subgroups per lane
+    assert sub_for(steps) == 256
     words = rng.integers(0, 2**32, size=(lanes, steps), dtype=np.uint64).astype(
         np.uint32
     )
     emitted = rng.random((lanes, steps)) < 0.23
     acc = rng.integers(0, 2**32, size=lanes, dtype=np.uint64).astype(np.uint32)
     nbits = rng.integers(0, 32, size=lanes).astype(np.int32)
+    counts_g = np.asarray(grouped_counts(jnp.asarray(emitted)))
     counts = emitted.sum(axis=1)
-    cap = payload_cap(int(counts.max()), steps)
+    cap = payload_cap_g(int(counts_g.max()), steps)
     cap_total = flat_cap(int(counts.sum()) + lanes)
     flat, nwords, bit_lens = compact_payload_flat(
         jnp.asarray(words),

@@ -220,9 +220,12 @@ def _device_probe_stages(et: bytes):
         _, acc = jax.lax.fori_loop(0, n, body, (b_, jnp.int32(0)))
         return acc
 
+    # 40-pass spread: this stage packs the ~3 MB .et bytes, so a 20-pass
+    # marginal (~8 ms) sits inside tunnel-overhead variance and once read
+    # 0.05 ms/pass (an impossible 60 GB/s).
     _, p1 = best_of(lambda: int(pack_n(bj, vj, ctj, 1)), 1, 3)
-    _, p21 = best_of(lambda: int(pack_n(bj, vj, ctj, 21)), 1, 3)
-    pack_s = max((p21 - p1) / 20, 1e-9)
+    _, p41 = best_of(lambda: int(pack_n(bj, vj, ctj, 41)), 1, 3)
+    pack_s = max((p41 - p1) / 40, 1e-9)
     yield {
         "pack_pass_ms": round(pack_s * 1e3, 3),
         "pack_MBps": round(arr.size / pack_s / 1e6, 0),
@@ -299,9 +302,11 @@ def _device_probe_stages(et: bytes):
         outs = [e2e_enc(bj, vj, ctj) for _ in range(n)]
         return sum(int(a) + int(b) for a, b in outs[-1:])
 
+    # 25-launch burst: each encode e2e program is only ~2-4 ms of device
+    # time on the 3 MB .et bytes, so a 12-launch marginal is within noise.
     _, q1 = best_of(lambda: enc_burst(1), 1, 3)
-    _, q5 = best_of(lambda: enc_burst(13), 1, 3)
-    enc_e2e_s = max((q5 - q1) / 4, 1e-9)
+    _, q25 = best_of(lambda: enc_burst(25), 1, 3)
+    enc_e2e_s = max((q25 - q1) / 24, 1e-9)
     yield {
         "encode_e2e_ms": round(enc_e2e_s * 1e3, 2),
         "encode_e2e_MBps": round(arr.size / enc_e2e_s / 1e6, 0),
@@ -314,8 +319,10 @@ def main() -> int:
 
     from entreepy_tpu import compress, decompress
 
-    et, t_enc = best_of(lambda: compress(data))
-    out, t_dec = best_of(lambda: decompress(et))
+    # best-of-9: this VM shows multi-ms scheduler outliers (a 5 ms decode
+    # occasionally reads 60-90 ms), so give the min more draws.
+    et, t_enc = best_of(lambda: compress(data), iters=9)
+    out, t_dec = best_of(lambda: decompress(et), iters=9)
     ok = out == data
 
     enc_mbps = mb / t_enc

@@ -293,6 +293,26 @@ def test_validate_chunk_meta_semantics():
         validate_chunk_meta(counts, none, 31)
 
 
+def test_compact_symbols_overflow_poisons_lane_tot():
+    """An under-sized static per-subgroup symbol cap must poison lane_tot
+    to -1 (rejected by validate_chunk_meta) instead of silently truncating
+    a subgroup's symbols."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.decode8 import compact_symbols_device
+
+    k, m, lanes = 128, 2, 8  # two 64-byte subgroups per lane
+    counts = np.zeros((k, lanes), np.int32)
+    counts[:64, 2] = 2  # subgroup 0 of lane 2 emits 128 symbols
+    inv = np.zeros((k, lanes), bool)
+    syms = np.zeros((k, m, lanes), np.uint8)
+    _, mini_tot, lane_tot, _ = compact_symbols_device(
+        jnp.asarray(counts), jnp.asarray(inv), jnp.asarray(syms), m, 16
+    )
+    assert int(np.asarray(mini_tot).max()) == 128
+    assert (np.asarray(lane_tot) == -1).all()
+
+
 # --- split expand tables (format.fsm8.split_expand_tensors) ---
 
 

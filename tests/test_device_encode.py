@@ -142,6 +142,26 @@ def test_compact_payload_flat_property():
     assert not flat_np[off:].any()
 
 
+def test_compact_payload_flat_overflow_poisons_bit_lens():
+    """An under-sized static subgroup cap must fail loudly (bit_lens == -1),
+    not silently drop words."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.bitpack import compact_payload_flat, flat_cap
+
+    lanes, steps = 4, 512
+    words = np.arange(lanes * steps, dtype=np.uint32).reshape(lanes, steps)
+    emitted = np.zeros((lanes, steps), bool)
+    emitted[1, :40] = True  # one subgroup holds 40 emitted words
+    acc = np.zeros(lanes, np.uint32)
+    nbits = np.zeros(lanes, np.int32)
+    _, _, bit_lens = compact_payload_flat(
+        jnp.asarray(words), jnp.asarray(emitted), jnp.asarray(acc),
+        jnp.asarray(nbits), 16, flat_cap(64),
+    )
+    assert (np.asarray(bit_lens) == -1).all()
+
+
 def test_stitch_flat_matches_stitch_words():
     from entreepy_tpu.utils.stitch import stitch_flat_payload, stitch_words
 

@@ -106,10 +106,15 @@ def main() -> int:
             best = min(best, ((t2 - t1) - (t1 - t0)) / 12)
         return best
 
-    out = {}
+    only = set(
+        s for s in os.environ.get("ENTREEPY_PROBE_STAGES", "").split(",") if s
+    )
+    out = {"sub_bytes": int(os.environ.get("ENTREEPY_SUB_BYTES", "64"))}
     prev = 0.0
     for name, fn in [("fsm", p_fsm), ("expand", p_expand),
                      ("compact", p_compact), ("full", p_full)]:
+        if only and name not in only:
+            continue
         t = bench(fn)
         out[name + "_ms"] = round(t * 1e3, 2)
         out[name + "_delta_ms"] = round((t - prev) * 1e3, 2)

@@ -20,6 +20,7 @@ granularity afterwards (utils/stitch.py).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -179,15 +180,22 @@ def flat_cap(total_words: int, round_to: int = FLAT_ROUND) -> int:
     return max(round_to, -(-total_words // round_to) * round_to)
 
 
-SUB_STEPS = 256  # stage-1 subgroup width (slots); must divide the block size
+# Stage-1 subgroup width (slots); must divide the block size. Interleaved
+# same-process sweep on v5e (5.2 MB text, 4096-byte blocks; cross-process
+# probe runs drift +-2 ms so never A/B across processes): encode-e2e
+# medians 64->13.8, 128->11.3, 256->7.9, 512->8.1, 1024->7.3, 2048->8.2,
+# 4096->9.4 ms. The curve is U-shaped: narrow subgroups shrink the stage-1
+# sort but inflate stage 2's global grid (lanes*(G*cap_g+1) elements via
+# per-subgroup cap slack). Env knob for sweeps.
+SUB_STEPS = int(os.environ.get("ENTREEPY_SUB_STEPS", "1024"))
 CAP_G_ROUND = 16  # subgroup payload caps round up to this (bounds recompiles)
 
 
 def sub_for(steps: int) -> int:
     """Stage-1 subgroup width for a ``steps``-slot dense grid: XLA TPU sort
-    cost grows superlinearly with the sorted width (measured on v5e:
-    key-val over 4096-wide rows is ~6x the same slots at 256), so the
-    per-lane compaction runs on 256-slot subgroups whenever they tile."""
+    cost grows superlinearly with the sorted width, so the per-lane
+    compaction runs on SUB_STEPS-slot subgroups whenever they tile (sweep
+    data at the SUB_STEPS definition)."""
     return SUB_STEPS if steps % SUB_STEPS == 0 else steps
 
 
@@ -211,10 +219,12 @@ def payload_cap_g(max_g: int, steps: int) -> int:
 def compact_payload_flat(words, emitted, acc, nbits, cap_g: int, cap_total: int):
     """Two-stage device compaction to ONE flat word stream.
 
-    Stage 1: per-(lane, 256-slot subgroup) key-val sort packs emitted words
-    to each subgroup's front -> [lanes, G, cap_g]. Subgrouping is the whole
-    trick: the same slots sorted 4096-wide cost ~6x as much on v5e (sort
-    networks grow ~log^2(width)), and scatters would serialize.
+    Stage 1: per-(lane, SUB_STEPS-slot subgroup) key-val sort packs emitted
+    words to each subgroup's front -> [lanes, G, cap_g]. Subgrouping
+    matters in both directions: narrow sorts are cheap (sort networks grow
+    ~log^2(width)) but loose per-subgroup caps inflate stage 2's grid —
+    the measured e2e optimum is 1024 (sweep at the SUB_STEPS definition);
+    scatters would serialize.
     Stage 2: a 1-D sort over the [lanes*(G*cap_g+1)] grid (one extra slot
     per lane carries the final partial word) packs every lane's live words
     into a single flat array in lane order — the fetched volume is the

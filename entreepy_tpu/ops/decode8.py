@@ -47,7 +47,14 @@ from ..format.huffman import CodeTable
 DEFAULT_CHUNK_BYTES = 512
 SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
 MAX_SYNC_PASSES = 24
-SUB_BYTES = 64  # compaction subgroup: narrow sorts are ~3.5x cheaper on TPU
+# Compaction subgroup width: narrow sorts are cheaper on TPU (sort networks
+# grow ~log^2 of sorted width). Interleaved same-process sweep on v5e at
+# chunk=512/m=3 (cross-process runs drift +-2 ms): e2e medians 8->6.26,
+# 16->6.41, 32->6.67, 64->7.78 ms — but 8/16 push the fetched symbol plane
+# to ~1.7x the output (their per-subgroup cap rides the sb*m bound), so 32
+# keeps the ~1.15x fetch contract and most of the compute win. Env knob for
+# sweeps (benchmarks/probe_decode_stages.py, /tmp-style interleaved sweeps).
+SUB_BYTES = int(os.environ.get("ENTREEPY_SUB_BYTES", "32"))
 CAP_SYM_ROUND = 16  # per-subgroup symbol caps round up to this
 from .pallas_fsm8 import LANE_TILE  # lanes pad to a multiple of the kernel tile
 
@@ -407,12 +414,13 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     concatenates the live column prefixes. Also returns per-lane totals
     and first-invalid offsets for :func:`validate_chunk_meta`.
 
-    The sort runs per 64-byte SUBGROUP of each chunk (XLA TPU sort cost
-    grows ~log^2 of the sorted width — measured on v5e the same slots cost
-    3.5x sorted 1536-wide vs 192-wide), so ``cap_sym`` is a per-subgroup
-    cap and the plane is a grid of mini-lane segments: row ``g*cap_sym+j``
-    of column ``l`` is slot ``j`` of subgroup ``g`` of lane ``l``. Stream
-    order = lane-major, then subgroup, then slot.
+    The sort runs per SUB_BYTES-byte SUBGROUP of each chunk (XLA TPU sort
+    cost grows ~log^2 of the sorted width — measured on v5e the same slots
+    cost 3.5x sorted 1536-wide vs 192-wide; see the SUB_BYTES sweep note),
+    so ``cap_sym`` is a per-subgroup cap and the plane is a grid of
+    mini-lane segments: row ``g*cap_sym+j`` of column ``l`` is slot ``j``
+    of subgroup ``g`` of lane ``l``. Stream order = lane-major, then
+    subgroup, then slot.
 
     counts/inv: int32/bool[K, lanes]; syms: uint8[K, m, lanes].
     Returns (plane uint8[Gs*cap_sym, lanes], mini_tot int32[Gs, lanes],

@@ -299,17 +299,18 @@ def test_compact_symbols_overflow_poisons_lane_tot():
     a subgroup's symbols."""
     import jax.numpy as jnp
 
-    from entreepy_tpu.ops.decode8 import compact_symbols_device
+    from entreepy_tpu.ops.decode8 import SUB_BYTES, compact_symbols_device
 
-    k, m, lanes = 128, 2, 8  # two 64-byte subgroups per lane
+    sb = SUB_BYTES
+    k, m, lanes = 2 * sb, 2, 8  # two subgroups per lane
     counts = np.zeros((k, lanes), np.int32)
-    counts[:64, 2] = 2  # subgroup 0 of lane 2 emits 128 symbols
+    counts[:sb, 2] = 2  # subgroup 0 of lane 2 emits 2*sb symbols
     inv = np.zeros((k, lanes), bool)
     syms = np.zeros((k, m, lanes), np.uint8)
     _, mini_tot, lane_tot, _ = compact_symbols_device(
         jnp.asarray(counts), jnp.asarray(inv), jnp.asarray(syms), m, 16
     )
-    assert int(np.asarray(mini_tot).max()) == 128
+    assert int(np.asarray(mini_tot).max()) == 2 * sb
     assert (np.asarray(lane_tot) == -1).all()
 
 

@@ -100,6 +100,7 @@ def test_compact_payload_flat_property():
     import jax.numpy as jnp
 
     from entreepy_tpu.ops.bitpack import (
+        SUB_STEPS,
         _assemble_payloads_np,
         compact_payload_flat,
         flat_cap,
@@ -109,8 +110,8 @@ def test_compact_payload_flat_property():
     )
 
     rng = np.random.default_rng(21)
-    lanes, steps = 16, 512  # two 256-slot subgroups per lane
-    assert sub_for(steps) == 256
+    lanes, steps = 16, 2 * SUB_STEPS  # two subgroups per lane
+    assert sub_for(steps) == SUB_STEPS
     words = rng.integers(0, 2**32, size=(lanes, steps), dtype=np.uint64).astype(
         np.uint32
     )

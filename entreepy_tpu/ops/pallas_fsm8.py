@@ -179,11 +179,12 @@ def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
 
 # Expand-kernel tiles: the per-cell VMEM must hold UNROLL_EXP staged
 # [(m+1)*S, lt] f32 lookup results plus the [(m+1)*kt, lt] output block, so
-# k tiles are shorter than the FSM kernel's. Swept on the 5.2 MB corpus
-# (benchmarks/tune_expand.py): (128,4) 4.66 ms/pass beats (128,2) 4.87,
-# (256,2) 5.18, (256,4) 5.67, (64,4) 4.78, (64,2) 5.13; (512,2) fails to
-# compile (VMEM).
-K_TILE_EXP = 128
+# k tiles are shorter than the FSM kernel's. Interleaved same-process sweep
+# on the 5.2 MB corpus (split table, chained-marginal medians over 5
+# rounds): (64,4) 2.55 ms/pass with the tightest spread (2.50-2.69) beats
+# (128,4) 2.71, (64,8) 2.63, (128,8) 2.59 (one corrupt sample), (256,4)
+# 2.77, (128,2) 2.93; (512,2) fails to compile (VMEM).
+K_TILE_EXP = 64
 UNROLL_EXP = 4
 
 

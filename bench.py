@@ -241,7 +241,7 @@ def _device_probe_stages(et: bytes):
     texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
     s0, _u = decode_fn(cols, tbl, jnp.int32(n_real))
     counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m, chunk_bytes)  # per-subgroup cap (tiny fetch)
+    cap_sym = sym_cap(counts0, m)  # per-subgroup cap (tiny fetch)
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
 
     @jax.jit

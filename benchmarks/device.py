@@ -233,7 +233,7 @@ def main() -> int:
 
     texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
     counts0, _, _ = run_expand(cols, s2, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m, chunk)  # per-subgroup cap (tiny fetch)
+    cap_sym = sym_cap(counts0, m)  # per-subgroup cap (tiny fetch)
     N_SYM = len(data)  # checksum only real output positions (the final body
     # byte's zero-padding bits can emit one trailing extra symbol, trimmed
     # on the real decode path)

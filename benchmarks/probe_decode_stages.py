@@ -55,7 +55,7 @@ def main() -> int:
 
     s0, _ = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
     counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m, chunk)
+    cap_sym = sym_cap(counts0, m)
     n_sym = len(data)
 
     @jax.jit

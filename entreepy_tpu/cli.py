@@ -278,29 +278,31 @@ def _prefix_audit(table) -> None:
     debug flag only there too). Never fires on a well-formed Huffman table;
     kept user-reachable for parity — message bytes match the reference
     (including its missing trailing newline)."""
-    present = [s for s in range(256) if table.lengths[s] > 0]
-    for i in present:
-        for j in present:
-            if i == j:
-                continue
-            len_i, len_j = int(table.lengths[i]), int(table.lengths[j])
-            code_i, code_j = int(table.codes[i]), int(table.codes[j])
-            shorter = min(len_i, len_j)
-            is_prefix = True
-            for k in range(shorter + 1):
-                # the reference truncates the shift to u5 (k=0 compares the
-                # bit above the code's MSB, i.e. always 0 == 0 unless len=32)
-                bit_i = (code_i >> ((len_i - k) & 31)) & 1
-                bit_j = (code_j >> ((len_j - k) & 31)) & 1
-                if bit_i != bit_j:
-                    is_prefix = False
-                    break
-            if is_prefix:
-                _write_raw(
-                    b"Found colliding prefix codes for "
-                    + f"{i} ".encode("ascii") + bytes([i])
-                    + f" and {j} ".encode("ascii") + bytes([j])
-                )
+    import numpy as np
+
+    present = np.flatnonzero(np.asarray(table.lengths) > 0)
+    if present.size == 0:
+        return
+    lens = np.asarray(table.lengths, dtype=np.int64)[present]
+    codes = np.asarray(table.codes, dtype=np.int64)[present]
+    # bit(i, k) = (code_i >> ((len_i - k) & 31)) & 1 depends on (i, k) only,
+    # so the O(n^2 * L) pairwise audit vectorizes to one [n, n, L] compare.
+    # The u5 shift truncation is the reference's (k=0 compares the bit above
+    # the code's MSB, always 0 == 0 unless len=32).
+    ks = np.arange(33, dtype=np.int64)[None, :]
+    bits = (codes[:, None] >> ((lens[:, None] - ks) & 31)) & 1  # [n, 33]
+    shorter = np.minimum(lens[:, None], lens[None, :])  # [n, n]
+    in_range = ks[None, :, :] <= shorter[:, :, None]  # [n, n, 33]
+    diff = bits[:, None, :] != bits[None, :, :]
+    is_prefix = ~np.any(diff & in_range, axis=2)
+    np.fill_diagonal(is_prefix, False)
+    for a, b in np.argwhere(is_prefix):  # row-major == the reference's i, j order
+        i, j = int(present[a]), int(present[b])
+        _write_raw(
+            b"Found colliding prefix codes for "
+            + f"{i} ".encode("ascii") + bytes([i])
+            + f" and {j} ".encode("ascii") + bytes([j])
+        )
 
 
 if __name__ == "__main__":

@@ -468,10 +468,11 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     return plane.reshape(gs * cap_sym, lanes), mini_tot, lane_tot, w_inv
 
 
-def sym_cap(counts, m: int, chunk_bytes: int):
+def sym_cap(counts, m: int):
     """Static per-subgroup symbol cap for :func:`compact_symbols_device`:
     fetches the subgroup totals' max (tiny) and rounds to CAP_SYM_ROUND
-    columns (bounds jit recompiles)."""
+    columns (bounds jit recompiles). The subgroup width is derived from
+    ``counts.shape[0]`` (the chunk size), same as the compaction itself."""
     k = counts.shape[0]
     sb = SUB_BYTES if k % SUB_BYTES == 0 else k
     mini = jnp.sum(counts.reshape(k // sb, sb, counts.shape[1]), axis=1)
@@ -556,7 +557,7 @@ def decode_body_device_full(
         counts, inv, syms = run_expand(
             cols, states, t_exp, jnp.int32(buf.size), m, mt
         )
-        cap_sym = sym_cap(counts, m, chunk_bytes)  # tiny sizing fetch
+        cap_sym = sym_cap(counts, m)  # tiny sizing fetch
         plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
             counts, inv, syms, m, cap_sym
         )

@@ -420,7 +420,7 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     counts, inv, syms = _expand_fn(mesh, axis, m, mt)(
         cols, states, t_exp, jnp.full((1,), buf.size, dtype=jnp.int32)
     )
-    cap_sym = sym_cap(counts, m, cols.shape[1])  # tiny sizing fetch
+    cap_sym = sym_cap(counts, m)  # tiny sizing fetch
     # per-lane ops only — GSPMD keeps the lane sharding, no collectives
     plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
         counts, inv, syms, m, cap_sym
@@ -459,7 +459,30 @@ def _expand_multihost(states, buf, fsm, table, n_symbols, chunk_bytes) -> bytes:
     lane0 = shards[0].index[0].start or 0
     my_lanes, k = st_local.shape
     lanes = states.shape[0]
-    assert lanes % my_lanes == 0, "uneven lane partition across processes"
+    if lanes % my_lanes:
+        raise ValueError(
+            f"uneven lane partition across processes ({my_lanes}/{lanes})"
+        )
+    # The assembly below assumes process-allgather order == lane-block order
+    # (process p owns lanes [p*my_lanes, (p+1)*my_lanes), contiguously). A
+    # caller-supplied mesh with interleaved process device order would
+    # silently permute the output at chunk granularity — the histogram-based
+    # stream check cannot catch reordering — so fail loudly instead.
+    if lane0 != jax.process_index() * my_lanes:
+        raise ValueError(
+            f"process {jax.process_index()} owns lanes starting at {lane0}, "
+            f"expected {jax.process_index() * my_lanes}: mesh device order "
+            "interleaves processes (use the default contiguous mesh)"
+        )
+    stop = lane0
+    for s in shards:
+        idx = s.index[0]
+        if (idx.start or 0) != stop:
+            raise ValueError(
+                "non-contiguous lane shards within a process: mesh device "
+                "order interleaves processes (use the default contiguous mesh)"
+            )
+        stop = idx.stop if idx.stop is not None else lanes
 
     # my chunks' body bytes (the body is replicated on every host's disk
     # read; only the *states* ever cross D2H)

@@ -62,10 +62,17 @@ def stitch_flat_payload(
     from .. import runtime
 
     nw = np.asarray(nwords, dtype=np.int64)
+    bl = np.asarray(bit_lens, dtype=np.int64)
+    if bl.size and bl.min(initial=0) < 0:
+        # compact_payload_flat poisons bit_lens to -1 on subgroup-cap
+        # overflow; enforce the fail-loud contract at the consumption point
+        # (mirrors validate_chunk_meta on the decode side) instead of
+        # emitting a silently corrupt stream.
+        raise ValueError("negative block bit length: device compaction overflowed")
     if offs is None:
         offs = np.concatenate([[0], np.cumsum(nw)[:-1]])
     offs = np.asarray(offs, dtype=np.int64)
-    native = runtime.stitch_flat(flat, offs, np.asarray(bit_lens, dtype=np.int64))
+    native = runtime.stitch_flat(flat, offs, bl)
     if native is not None:
         return native
     views = [flat[offs[l] : offs[l] + nw[l]] for l in range(nw.size)]

@@ -201,6 +201,83 @@ def expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int]:
     return t, m
 
 
+def _first_walk(fsm: ByteFsm, s: int):
+    """Per-(state, byte) first-code walk shared by the split/fused tables.
+
+    Returns (first_sym, pfx, inv_first, node) flat [s*256] arrays: the first
+    symbol completed in the byte (0 if none), the bit position 1..8 where it
+    completed (0 = none), whether the walk died on an unreachable edge
+    before completing one, and the final walk node (for p = 0 rows this is
+    the pure continuation state — no restart happened — i.e. exactly
+    ``fsm.next_state``)."""
+    children, leaf_sym = fsm.children, fsm.leaf_sym
+    n_int = children.shape[0]
+    byte_vals = np.arange(BYTE_FANOUT, dtype=np.int32)
+    bits = (byte_vals[None, :] >> (BYTE_BITS - 1 - np.arange(BYTE_BITS)[:, None])) & 1
+
+    node = np.repeat(np.arange(s, dtype=np.int32), BYTE_FANOUT)  # [S*256]
+    bits_sb = np.broadcast_to(bits[:, None, :], (BYTE_BITS, s, BYTE_FANOUT)).reshape(
+        BYTE_BITS, -1
+    )
+    inv_first = node >= n_int  # padding rows: every transition invalid
+    node = np.where(inv_first, 0, node)
+    done = inv_first.copy()
+    first_sym = np.zeros(node.shape, np.int64)
+    pfx = np.zeros(node.shape, np.int64)  # bit pos after first code; 0 = none
+    for i in range(BYTE_BITS):
+        b = bits_sb[i]
+        ls = leaf_sym[node, b]
+        ch = children[node, b]
+        is_leaf = ls >= 0
+        dead = ~is_leaf & (ch < 0)
+        hit = ~done & is_leaf
+        inv_first |= ~done & dead
+        first_sym = np.where(hit, ls, first_sym)
+        pfx = np.where(hit, i + 1, pfx)
+        done |= is_leaf | dead
+        node = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
+    return first_sym, pfx, inv_first, node
+
+
+def _tail_walk(fsm: ByteFsm, mt: int):
+    """Per-(p, byte) tail walk (bits p..7 from the root) shared by the
+    split/fused tables. Returns (tcnt, tinv, tsyms, tnode): symbol count,
+    death flag, symbol slots, and the walk's end node (= the FSM next state
+    whenever a first code completed at bit p)."""
+    children, leaf_sym = fsm.children, fsm.leaf_sym
+    byte_vals = np.arange(BYTE_FANOUT, dtype=np.int32)
+    bits = (byte_vals[None, :] >> (BYTE_BITS - 1 - np.arange(BYTE_BITS)[:, None])) & 1
+
+    n_p = BYTE_BITS + 1  # p in 0..8; row 0 (no first code) stays all-zero
+    tnode = np.zeros((n_p, BYTE_FANOUT), np.int32)
+    tcnt = np.zeros((n_p, BYTE_FANOUT), np.int64)
+    tinv = np.zeros((n_p, BYTE_FANOUT), bool)
+    tsyms = np.zeros((n_p, BYTE_FANOUT, mt), np.uint8)
+    p_col = np.arange(n_p)[:, None]
+    flat = np.arange(n_p * BYTE_FANOUT)
+    for i in range(BYTE_BITS):
+        act = (p_col >= 1) & (p_col <= i)  # walk starts at bit p
+        b = np.broadcast_to(bits[i], (n_p, BYTE_FANOUT))
+        ls = leaf_sym[tnode, b]
+        ch = children[tnode, b]
+        is_leaf = ls >= 0
+        dead = ~is_leaf & (ch < 0)
+        take = act & is_leaf & ~tinv
+        tinv |= act & dead
+        idx = np.minimum(tcnt, mt - 1).ravel()
+        fs = tsyms.reshape(-1, mt)
+        fs[flat, idx] = np.where(take.ravel(), ls.ravel(), fs[flat, idx]).astype(
+            np.uint8
+        )
+        tcnt += take
+        step = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
+        tnode = np.where(act, step, tnode)
+    # Unreachable (byte, p) combos can overshoot mt symbols; no real
+    # (state, byte) pair ever selects them, clamp for cleanliness.
+    tcnt = np.minimum(tcnt, mt)
+    return tcnt, tinv, tsyms, tnode
+
+
 def split_expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int]:
     """Split expand table — the arithmetic-reduced form of
     :func:`expand_tensors`.
@@ -233,63 +310,9 @@ def split_expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int]:
     m = max(1, int(fsm.counts.max(initial=1)))
     mt = max(1, m - 1)
     s = fsm.width
-    children, leaf_sym = fsm.children, fsm.leaf_sym
-    n_int = children.shape[0]
-
-    byte_vals = np.arange(BYTE_FANOUT, dtype=np.int32)
-    bits = (byte_vals[None, :] >> (BYTE_BITS - 1 - np.arange(BYTE_BITS)[:, None])) & 1
-
-    # --- first-code walk over all (state, byte) pairs -----------------------
-    node = np.repeat(np.arange(s, dtype=np.int32), BYTE_FANOUT)  # [S*256]
-    bits_sb = np.broadcast_to(bits[:, None, :], (BYTE_BITS, s, BYTE_FANOUT)).reshape(
-        BYTE_BITS, -1
-    )
-    inv_first = node >= n_int  # padding rows: every transition invalid
-    node = np.where(inv_first, 0, node)
-    done = inv_first.copy()
-    first_sym = np.zeros(node.shape, np.int64)
-    pfx = np.zeros(node.shape, np.int64)  # bit pos after first code; 0 = none
-    for i in range(BYTE_BITS):
-        b = bits_sb[i]
-        ls = leaf_sym[node, b]
-        ch = children[node, b]
-        is_leaf = ls >= 0
-        dead = ~is_leaf & (ch < 0)
-        hit = ~done & is_leaf
-        inv_first |= ~done & dead
-        first_sym = np.where(hit, ls, first_sym)
-        pfx = np.where(hit, i + 1, pfx)
-        done |= is_leaf | dead
-        node = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
-
-    # --- tail walk over (p, byte): bits p..7 from the root ------------------
-    n_p = BYTE_BITS + 1  # p in 0..8; row 0 (no first code) stays all-zero
-    tnode = np.zeros((n_p, BYTE_FANOUT), np.int32)
-    tcnt = np.zeros((n_p, BYTE_FANOUT), np.int64)
-    tinv = np.zeros((n_p, BYTE_FANOUT), bool)
-    tsyms = np.zeros((n_p, BYTE_FANOUT, mt), np.uint8)
-    p_col = np.arange(n_p)[:, None]
-    flat = np.arange(n_p * BYTE_FANOUT)
-    for i in range(BYTE_BITS):
-        act = (p_col >= 1) & (p_col <= i)  # walk starts at bit p
-        b = np.broadcast_to(bits[i], (n_p, BYTE_FANOUT))
-        ls = leaf_sym[tnode, b]
-        ch = children[tnode, b]
-        is_leaf = ls >= 0
-        dead = ~is_leaf & (ch < 0)
-        take = act & is_leaf & ~tinv
-        tinv |= act & dead
-        idx = np.minimum(tcnt, mt - 1).ravel()
-        fs = tsyms.reshape(-1, mt)
-        fs[flat, idx] = np.where(take.ravel(), ls.ravel(), fs[flat, idx]).astype(
-            np.uint8
-        )
-        tcnt += take
-        step = np.where(is_leaf, 0, np.where(ch >= 0, ch, 0))
-        tnode = np.where(act, step, tnode)
-    # Unreachable (byte, p) combos can overshoot mt symbols; no real
-    # (state, byte) pair ever selects them, clamp for cleanliness.
-    tcnt = np.minimum(tcnt, mt)
+    first_sym, pfx, inv_first, _ = _first_walk(fsm, s)
+    tcnt, tinv, tsyms, _ = _tail_walk(fsm, mt)
+    n_p = BYTE_BITS + 1
 
     t = np.zeros((BYTE_FANOUT, 2 * s + (BYTE_BITS + 1) * (mt + 1)), np.float32)
     t[:, 0:s] = first_sym.reshape(s, BYTE_FANOUT).T
@@ -299,6 +322,67 @@ def split_expand_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int]:
         off = 2 * s + (1 + j) * n_p
         t[:, off : off + n_p] = tsyms[:, :, j].T
     return t, m, mt
+
+
+def fused_decode_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int, int]:
+    """ONE-PASS decode table: drives the state chain AND the symbol
+    expansion from a single ``2s + 9*(mt+2)``-column one-hot contraction per
+    byte — no separate emit pass, no state re-read, and narrower than the
+    split expand table alone (``2s + 9(mt+1)`` at s = fsm.width) because
+    ``s`` here is the ACTUAL internal-node count padded to 8 instead of the
+    MXU-padded 128.
+
+    Key identity: after the first code completes at bit p >= 1 the walk is
+    at the root, so ``next_state(state, byte) = tail_end(byte, p)`` — a
+    9-value table. Only the p = 0 case (no code completed) needs the full
+    per-(state, byte) continuation, and in that case NO first symbol exists
+    — so the continuation state and the first symbol share one S-block
+    (``merged``), selected by p.
+
+    Layout f32[256, 2s + 9*(mt+2)], every value <= 255 (exact in bf16):
+
+    * cols ``0:s``        merged: first symbol if p >= 1, else the
+                          continuation state ``next_state[s, b]``
+    * cols ``s:2s``       ``p + 16*invalid_first``
+    * cols ``2s:2s+9``    tail ``count + 16*invalid``, by (byte, p)
+    * mt 9-col blocks     tail symbol slot j, by (byte, p)
+    * last 9-col block    tail end state, by (byte, p) (row p=0 unused)
+
+    Device combine (ops/pallas_fsm8._fused_kernel): masked s-reduce the two
+    S-blocks by the running state, 9-reduce the tail blocks by p, then
+    ``state' = p > 0 ? tail_end : merged``; emitted rows are identical to
+    :func:`expand_tensors`'s packed layout (row 0 = count + 16*invalid,
+    rows 1.. = symbol slots with the first symbol in slot 0).
+
+    On chain divergence after an *invalid* transition: the packed row 0
+    carries the invalid flag, and an invalid transition at-or-before the
+    output's completion point always rejects the stream, so any post-
+    invalid state divergence from the emit-pass chain is unobservable in
+    accepted outputs (see tests/test_decode8.py fused-vs-serial cases).
+
+    Returns (table, m, mt, s).
+    """
+    m = max(1, int(fsm.counts.max(initial=1)))
+    mt = max(1, m - 1)
+    s = max(8, -(-fsm.n_states // 8) * 8)  # pad to sublane multiple, not 128
+    first_sym, pfx, inv_first, _ = _first_walk(fsm, s)
+    tcnt, tinv, tsyms, tnode = _tail_walk(fsm, mt)
+    n_p = BYTE_BITS + 1
+
+    # next_state for the p = 0 continuation; fsm.next_state is [width, 256],
+    # s <= width always (both cover >= n_states).
+    cont = fsm.next_state[:s, :].astype(np.int64).reshape(-1)
+    merged = np.where(pfx >= 1, first_sym, cont)
+
+    t = np.zeros((BYTE_FANOUT, 2 * s + n_p * (mt + 2)), np.float32)
+    t[:, 0:s] = merged.reshape(s, BYTE_FANOUT).T
+    t[:, s : 2 * s] = (pfx + 16 * inv_first).reshape(s, BYTE_FANOUT).T
+    t[:, 2 * s : 2 * s + n_p] = (tcnt + 16 * tinv).T
+    for j in range(mt):
+        off = 2 * s + (1 + j) * n_p
+        t[:, off : off + n_p] = tsyms[:, :, j].T
+    t[:, 2 * s + (1 + mt) * n_p :] = tnode.T
+    return t, m, mt, s
 
 
 def fsm8_decode_host(fsm: ByteFsm, data: np.ndarray, state: int = 0):

@@ -280,6 +280,95 @@ def compact_payload_flat(words, emitted, acc, nbits, cap_g: int, cap_total: int)
     return jax.lax.bitcast_convert_type(flat, jnp.uint32), nwords, bit_lens
 
 
+# Plane-compaction subgroup width (slots): single-stage compaction sorts
+# this narrow per subgroup and the HOST slices live prefixes from the
+# fetched plane (the decode-side plane trick) — no global stage-2 sort.
+# Narrow subgroups cut sort cost; wide ones cut per-subgroup cap slack
+# (fetch inflation). Swept on v5e — see PLANE_SUB definition note below.
+PLANE_SUB = int(os.environ.get("ENTREEPY_PLANE_SUB", "128"))
+
+
+def plane_sub_for(steps: int) -> int:
+    return PLANE_SUB if steps % PLANE_SUB == 0 else steps
+
+
+def grouped_counts_plane(emitted: jax.Array) -> jax.Array:
+    """Per-(lane, plane-subgroup) emitted-word counts int32[lanes, G] — the
+    tiny sizing fetch for :func:`compact_payload_plane`'s static cap."""
+    lanes, steps = emitted.shape
+    sub = plane_sub_for(steps)
+    return jnp.sum(emitted.reshape(lanes, steps // sub, sub).astype(jnp.int32), axis=2)
+
+
+def plane_cap_g(max_g: int, steps: int) -> int:
+    """Static subgroup payload width for the plane compaction, rounded to
+    CAP_G_ROUND columns (bounds jit recompiles)."""
+    sub = plane_sub_for(steps)
+    return min(-(-max(max_g, 1) // CAP_G_ROUND) * CAP_G_ROUND, sub)
+
+
+@partial(jax.jit, static_argnames=("cap_g",))
+def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
+    """SINGLE-stage device compaction: per-(lane, PLANE_SUB-slot subgroup)
+    key-val sort packs emitted words to each subgroup's front; the host
+    fetches the [lanes, G*cap_g + 1] plane (the final partial word rides
+    the last column) plus the tiny counts grid and concatenates live
+    prefixes (:func:`assemble_plane_payload` — the decode-side plane
+    trick). Skips :func:`compact_payload_flat`'s global stage-2 sort
+    entirely; the fetch is ~cap_g/avg_subgroup_count of the compressed
+    size (~1.1-1.4x) instead of exactly 1x.
+
+    ``cap_g`` must cover the fullest subgroup (size with
+    :func:`grouped_counts_plane` + :func:`plane_cap_g`); if it does not,
+    ``bit_lens`` are poisoned to -1 (stitch_flat_payload raises).
+
+    Returns (plane uint32[lanes, G*cap_g + 1], counts_g int32[lanes, G],
+    bit_lens int32[lanes]).
+    """
+    lanes, steps = words.shape
+    sub = plane_sub_for(steps)
+    g = steps // sub
+    cg = min(cap_g, sub)
+    w3 = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(lanes, g, sub)
+    e3 = emitted.reshape(lanes, g, sub)
+    cum = jnp.cumsum(e3.astype(jnp.int32), axis=2)
+    iota = jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+    key = jnp.where(e3, cum - 1, sub + iota)
+    _, vs = jax.lax.sort_key_val(key, jnp.where(e3, w3, 0), dimension=2)
+    pay = vs[:, :, :cg]  # [lanes, G, cap_g]
+    counts_g = cum[:, :, -1]  # [lanes, G]
+    counts = jnp.sum(counts_g, axis=1)
+    overflow = jnp.max(counts_g) > cg
+    acc_col = jax.lax.bitcast_convert_type(acc, jnp.int32)[:, None]
+    plane = jnp.concatenate([pay.reshape(lanes, g * cg), acc_col], axis=1)
+    bit_lens = jnp.where(overflow, -1, counts * 32 + nbits)
+    return (
+        jax.lax.bitcast_convert_type(plane, jnp.uint32),
+        counts_g,
+        bit_lens,
+    )
+
+
+def assemble_plane_payload(
+    plane: np.ndarray, counts_g: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host tail of :func:`compact_payload_plane`: slice each subgroup's
+    live prefix (+ the per-lane final partial word) out of the fetched
+    plane in one boolean extraction. Returns (flat uint32 — every block's
+    words back to back, nwords int64[lanes] = count + 1) for
+    ``stitch_flat_payload``."""
+    lanes, g = counts_g.shape
+    cap_g = (plane.shape[1] - 1) // g if g else 0
+    jmask = (
+        np.arange(cap_g, dtype=np.int64)[None, None, :]
+        < counts_g[:, :, None]
+    ).reshape(lanes, g * cap_g)
+    mask = np.concatenate([jmask, np.ones((lanes, 1), bool)], axis=1)
+    flat = np.ascontiguousarray(plane)[mask]  # row-major == (lane, subgroup, slot)
+    nwords = counts_g.sum(axis=1).astype(np.int64) + 1
+    return flat, nwords
+
+
 def assemble_payloads(
     words: np.ndarray, emitted: np.ndarray, acc: np.ndarray, nbits: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -331,6 +331,100 @@ def _expand_scan_split(cols, states, t_split, m: int, mt: int):
     return raw, syms.astype(jnp.uint8)  # [K, lanes], [K, m, lanes]
 
 
+@partial(jax.jit, static_argnames=("m", "mt", "s"))
+def _fused_scan_pass(cols_T, t_fused, entries, m: int, mt: int, s: int):
+    """XLA-scan twin of pallas_fsm8.fused_pass_pallas8 (CPU meshes /
+    fallback): one [lanes, 2s+9(mt+2)] contraction per byte drives the
+    state chain and the symbol emission together. Returns (raw [K, lanes],
+    syms uint8[K, m, lanes], exits [lanes])."""
+    lanes = cols_T.shape[1]
+    n_p = 9
+    s_iota = jnp.arange(s, dtype=jnp.int32)
+    b_iota = jnp.arange(256, dtype=jnp.int32)
+    p_iota = jnp.arange(n_p, dtype=jnp.int32)
+
+    def step(state, byte):
+        oh_b = (byte[:, None] == b_iota[None, :]).astype(jnp.bfloat16)
+        tmp = jnp.dot(oh_b, t_fused, preferred_element_type=jnp.float32)
+        mask = (state[:, None] == s_iota[None, :]).astype(jnp.float32)
+        mg = jnp.sum(tmp[:, :s] * mask, axis=1).astype(jnp.int32)
+        pv = jnp.sum(tmp[:, s : 2 * s] * mask, axis=1).astype(jnp.int32)
+        p = pv & 15
+        mask_p = (p[:, None] == p_iota[None, :]).astype(jnp.float32)
+        tail = tmp[:, 2 * s :].reshape(lanes, mt + 2, n_p)
+        tvals = jnp.sum(tail * mask_p[:, None, :], axis=2).astype(jnp.int32)
+        tcv = tvals[:, 0]
+        inv = (pv >= 16) | ((p > 0) & (tcv >= 16))
+        count = (p > 0).astype(jnp.int32) + (tcv & 15)
+        raw = jnp.where(inv, 16, count)
+        slots = [mg] + [tvals[:, 1 + j] for j in range(m - 1)]
+        tend = tvals[:, mt + 1]
+        nxt = jnp.where(p > 0, tend, mg)
+        return nxt, (raw, jnp.stack(slots, axis=0))
+
+    exits, (raw, syms) = jax.lax.scan(step, entries, cols_T)
+    return raw, syms.astype(jnp.uint8), exits  # [K, lanes], [K, m, lanes]
+
+
+@partial(jax.jit, static_argnames=("m", "mt", "s", "max_passes"))
+def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
+                      s: int, max_passes: int = MAX_SYNC_PASSES):
+    """Scan-based one-pass decode (CPU meshes / fallback): cols int32
+    [lanes, K] -> (vals int32[K, m+1, lanes] packed rows, unconverged).
+    Same structure as pallas_fsm8.fsm8_decode_fused_pallas."""
+    lanes, k = cols.shape
+    xs = cols.T
+    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+
+    w = min(SYNC_WINDOW, k)
+    suffix_exits, _ = _scan_pass(xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), False)
+    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+
+    def cond(c):
+        entries, prev, _, _, it = c
+        return jnp.logical_and(
+            it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
+        )
+
+    def body(c):
+        entries, _, _, _, it = c
+        raw, syms, exits = _fused_scan_pass(xs, t_fused, entries, m, mt, s)
+        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+        return new_entries, entries, raw, syms, it + 1
+
+    raw0 = jnp.zeros((k, lanes), jnp.int32)
+    syms0 = jnp.zeros((k, m, lanes), jnp.uint8)
+    entries, prev, raw, syms, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, raw0, syms0, jnp.int32(0))
+    )
+    unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+    vals = jnp.concatenate([raw[:, None, :], syms.astype(jnp.int32)], axis=1)
+    return vals, unconverged
+
+
+def build_fused(fsm: ByteFsm):
+    """One-pass decode table -> (table bf16, m, mt, s). See
+    ``format.fsm8.fused_decode_tensors``."""
+    from ..format.fsm8 import fused_decode_tensors
+
+    t, m, mt, s = fused_decode_tensors(fsm)
+    return jnp.asarray(t, jnp.bfloat16), m, mt, s
+
+
+def run_fused_decode(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
+                     s: int):
+    """Dispatch the one-pass decode to the Pallas kernel on real TPUs, the
+    XLA scan elsewhere. Returns (vals int32[K, m+1, lanes], unconverged).
+    Raises ValueError on Pallas-tile-incompatible shapes (callers fall back
+    to the two-pass path)."""
+    if _use_pallas():
+        from .pallas_fsm8 import fsm8_decode_fused_pallas
+
+        return fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes,
+                                        m, mt, s)
+    return fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m, mt, s)
+
+
 def expand_pass_split(cols, states, t_split, n_valid, m: int, mt: int, pos0=0):
     """Split-table variant of :func:`expand_pass_device` (same outputs):
     ``2S + 9(mt+1)``-wide contraction instead of ``(m+1)S`` — see
@@ -443,10 +537,11 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     cums = jnp.cumsum(c3, axis=1) - c3  # symbols before byte, per subgroup
     mini_tot = cums[:, -1, :] + c3[:, -1, :]  # [Gs, lanes]
 
-    # ONE int32 per slot — (position << 8) | symbol — so the sort moves half
+    # ONE word per slot — (position << 8) | symbol — so the sort moves half
     # the bytes a (key, value) pair sort would; dead slots carry position
     # ``sg`` (> every live position) and sink to the bottom of their
-    # subgroup.
+    # subgroup. int16 when the packed value fits (sg <= 127 — the default
+    # sb=32/m<=3 gives sg=96): halves the sorted bytes again.
     j = jnp.arange(m, dtype=jnp.int32)[None, None, :, None]
     pos = jnp.where(
         j < c3[:, :, None, :], cums[:, :, None, :] + j, sg
@@ -455,7 +550,9 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     packed = (pos << 8) | jnp.where(
         pos < sg, syms.reshape(gs, sg, lanes).astype(jnp.int32), 0
     )
-    sv = jnp.sort(packed, axis=1)
+    if sg <= 127:  # sg << 8 | sym fits int16's positive range
+        packed = packed.astype(jnp.int16)
+    sv = jnp.sort(packed, axis=1).astype(jnp.int32)
     cap_g = min(cap_sym, sg)
     plane = (sv[:, :cap_g, :] & 255).astype(jnp.uint8)
     if cap_sym > sg:
@@ -540,11 +637,46 @@ def decode_body_device_full(
     lanes = _pad_lanes(n_real_lanes) if _use_pallas() else n_real_lanes
     padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
-    with phase("device_fsm8_decode", n_symbols):
-        cols = bytes_to_cols(padded, lanes, chunk_bytes)
-        decode_fn = select_fsm8_decoder()
-        states, unconverged = decode_fn(cols, _table_T_bf16(fsm), jnp.int32(n_real_lanes))
+
+    mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
+    unconverged = True
+    counts = inv = syms = None
+    if mode == "onepass":
+        # One-pass decode: a single fused kernel emits the packed symbol
+        # rows directly (no separate emit pass, no state HBM round-trip).
+        t_fused, m, mt, s = build_fused(fsm)
+        try:
+            with phase("device_fsm8_decode", n_symbols):
+                cols = bytes_to_cols(padded, lanes, chunk_bytes)
+                vals, unconverged = run_fused_decode(
+                    cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real_lanes),
+                    m, mt, s,
+                )
+            if not bool(unconverged):
+                with phase("device_expand", n_symbols):
+                    counts, inv, syms = _expand_mask(
+                        vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8),
+                        jnp.int32(buf.size), m,
+                    )
+        except ValueError:  # Pallas-tile-incompatible shapes: two-pass path
+            mode = "split"
+    if counts is None and not (mode == "onepass" and bool(unconverged)):
+        with phase("device_fsm8_decode", n_symbols):
+            cols = bytes_to_cols(padded, lanes, chunk_bytes)
+            decode_fn = select_fsm8_decoder()
+            states, unconverged = decode_fn(
+                cols, _table_T_bf16(fsm), jnp.int32(n_real_lanes)
+            )
+        if not bool(unconverged):
+            t_exp, m, mt = build_expand(fsm)
+            with phase("device_expand", n_symbols):
+                counts, inv, syms = run_expand(
+                    cols, states, t_exp, jnp.int32(buf.size), m, mt
+                )
     if bool(unconverged):
+        # Pathologically periodic streams can defeat chunk self-sync; the
+        # exact serial host decoder is the always-correct fallback (with the
+        # same exact-bit invariant every other path enforces).
         from .. import format as _fmt
         from ..format.hostcodec import _check_stream_bits
 
@@ -552,11 +684,7 @@ def decode_body_device_full(
         out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
         _check_stream_bits(out, table.lengths, buf.size)
         return out
-    t_exp, m, mt = build_expand(fsm)
     with phase("device_expand", n_symbols):
-        counts, inv, syms = run_expand(
-            cols, states, t_exp, jnp.int32(buf.size), m, mt
-        )
         cap_sym = sym_cap(counts, m)  # tiny sizing fetch
         plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
             counts, inv, syms, m, cap_sym

@@ -20,6 +20,7 @@ core; scratch persists across them).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -44,6 +45,53 @@ def _tiles8(lanes: int, k: int) -> tuple[int, int]:
     return lt, kt
 
 
+# Table dtype for the Pallas one-hot contractions: int8 runs the MXU at 2x
+# the bf16 rate on v5e (measured: fused pass 1.38 vs 2.06 ms) and stays
+# exact — tables store value-128 (all values <= 255 fit) and the one-hot
+# select adds the offset back after the s32-accumulated reduce. Env knob
+# for A/B sweeps and older-gen fallback.
+TBL_INT8 = os.environ.get("ENTREEPY_FUSED_DTYPE", "int8") == "int8"
+I8_OFF = 128
+
+
+def _tbl_dot(tbl_ref, x, b_col):
+    """onehot(byte) contraction against the whole table -> (d, off): int32/
+    f32 [W, lt] lookup rows whose true value is ``reduce(d * mask) + off``."""
+    if tbl_ref.dtype == jnp.int8:
+        ohB = (x == b_col).astype(jnp.int8)
+        d = jax.lax.dot_general(
+            tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return d, I8_OFF
+    ohB = (x == b_col).astype(jnp.bfloat16)
+    d = jax.lax.dot_general(
+        tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d, 0
+
+
+def _mask_reduce(d, mask_i32, off, lo, hi):
+    """sum(d[lo:hi] * mask) + off -> int32 [1, lt] (mask has exactly one 1
+    per lane, so this is an exact row select in either dtype)."""
+    blk = jax.lax.slice_in_dim(d, lo, hi, axis=0)
+    if d.dtype == jnp.int32:
+        return jnp.sum(blk * mask_i32, axis=0, keepdims=True) + off
+    return jnp.sum(blk * mask_i32.astype(jnp.float32), axis=0, keepdims=True).astype(
+        jnp.int32
+    ) + off
+
+
+def to_kernel_table(t: jax.Array) -> jax.Array:
+    """bf16 one-hot table -> the Pallas kernels' dtype (int8 value-128 by
+    default; identity under ENTREEPY_FUSED_DTYPE=bf16). Exact: every table
+    value is an integer <= 255, representable in bf16."""
+    if TBL_INT8:
+        return (t.astype(jnp.int32) - I8_OFF).astype(jnp.int8)
+    return t
+
+
 def _steps8(x_ref, tbl_ref, state, q, lt):
     """UNROLL byte transitions from ``state``. The U matmuls are mutually
     independent (state enters only the row selects), so Mosaic can keep the
@@ -54,18 +102,14 @@ def _steps8(x_ref, tbl_ref, state, q, lt):
     ds = []
     for u in range(UNROLL):
         x = x_ref[pl.ds(q * UNROLL + u, 1), :]  # (1, lt)
-        ohB = (x == b_col).astype(jnp.bfloat16)  # (256, lt)
-        ds.append(
-            jax.lax.dot_general(
-                tbl_ref[:], ohB, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (S, lt): D[s, l] = next state if the lane were in state s
-        )
+        ds.append(_tbl_dot(tbl_ref, x, b_col))
+        # (S, lt): D[s, l] = next state if the lane were in state s
     pre = []
     for u in range(UNROLL):
-        mask = (state == s_col).astype(jnp.float32)  # (S, lt)
+        mask = (state == s_col).astype(jnp.int32)  # (S, lt)
         pre.append(state)
-        state = jnp.sum(ds[u] * mask, axis=0, keepdims=True).astype(jnp.int32)
+        d, off = ds[u]
+        state = _mask_reduce(d, mask, off, 0, n_states)
     return pre, state
 
 
@@ -128,6 +172,7 @@ def sync_pass_pallas8(xs, table_T, entries, interpret: bool = False):
     """xs: int32[W, lanes] byte rows; table_T: bf16[256, S]; entries:
     int32[lanes] -> exits int32[lanes]."""
     k, lanes = xs.shape
+    table_T = to_kernel_table(table_T)
     lt, kt = _tiles8(lanes, k)
     grid = (lanes // lt, k // kt)
     exits = pl.pallas_call(
@@ -151,6 +196,7 @@ def emit_pass_pallas8(xs, table_T, entries, interpret: bool = False):
     """Full pass emitting the state sequence. Returns (packed int32
     [K/4, lanes] — 4 pre-states MSB-first per word, exits int32[lanes])."""
     k, lanes = xs.shape
+    table_T = to_kernel_table(table_T)
     lt, kt = _tiles8(lanes, k)
     grid = (lanes // lt, k // kt)
     packed, exits = pl.pallas_call(
@@ -356,6 +402,169 @@ def expand_pass_split_pallas8(xs, states_T, t_split, m: int, mt: int,
         interpret=interpret,
     )(xs, states_T, t_split)
     return out.reshape(k, m + 1, lanes)
+
+
+# One-pass (fused emit+expand) tiles: staged lookup is [2s+9(mt+2), lt] f32
+# per unrolled byte (~228 cols at s=96/mt=2 — 2 MXU tiles, vs 1+3 across the
+# emit+split-expand pair) plus the [(m+1)*kt, lt] output block. Interleaved
+# same-process sweep on v5e (5.2 MB corpus, chained-marginal medians over 5
+# rounds): (64,8) 2.05 ms beats (128,8) 2.09, (256,4) 2.17, (64,4) 2.18,
+# (128,4) 2.22, (128,2) 2.38; (512,4) fails to compile (VMEM). Env knobs
+# for sweeps (see CLAUDE.md).
+K_TILE_FUSED = int(os.environ.get("ENTREEPY_FUSED_KT", "64"))
+UNROLL_FUSED = int(os.environ.get("ENTREEPY_FUSED_UNROLL", "8"))
+
+
+def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
+    """One-pass decode kernel (table: format.fsm8.fused_decode_tensors):
+    ONE [256, 2s+9(mt+2)] one-hot contraction per byte drives BOTH the
+    serial state chain and the symbol emission. Per byte: masked s-reduce
+    the merged/p blocks by the running state, masked 9-reduce the tail
+    blocks by p, ``state' = p>0 ? tail_end : merged``; emits the packed
+    (count|16*invalid, symbol slots) rows of _expand_kernel — or, when
+    ``packed`` (m <= 3), ONE int32 row per byte holding
+    ``row0 << 8m | slot0 << 8(m-1) | ...`` (5 + 8m <= 29 bits): 1/(m+1) of
+    the HBM writes and while-loop carry."""
+    n_p = N_P
+
+    def kernel(x_ref, tbl_ref, entries_ref, out_ref, exits_ref, state_ref):
+        i_l = pl.program_id(0)
+        i_k = pl.program_id(1)
+        n_k = pl.num_programs(1)
+
+        @pl.when(i_k == 0)
+        def _():
+            state_ref[:] = entries_ref[pl.ds(i_l, 1), :]
+
+        kt, lt = x_ref.shape
+        b_col = jax.lax.broadcasted_iota(jnp.int32, (N_INPUT, lt), 0)
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (s, lt), 0)
+        p_col = jax.lax.broadcasted_iota(jnp.int32, (n_p, lt), 0)
+
+        def body(q, state):
+            ds = []
+            for u in range(UNROLL_FUSED):
+                x = x_ref[pl.ds(q * UNROLL_FUSED + u, 1), :]
+                ds.append(_tbl_dot(tbl_ref, x, b_col))  # (2s + 9*(mt+2), lt)
+            for u in range(UNROLL_FUSED):
+                d, off0 = ds[u]
+                mask_s = (state == s_col).astype(jnp.int32)  # (s, lt)
+                mg = _mask_reduce(d, mask_s, off0, 0, s)
+                pv = _mask_reduce(d, mask_s, off0, s, 2 * s)
+                p = pv & 15
+                mask_p = (p == p_col).astype(jnp.int32)  # (9, lt)
+                tcv = _mask_reduce(d, mask_p, off0, 2 * s, 2 * s + n_p)
+                inv = ((pv >= 16) | ((p > 0) & (tcv >= 16))).astype(jnp.int32)
+                count = (p > 0).astype(jnp.int32) + (tcv & 15)
+                row0 = jnp.where(inv > 0, 16, count)
+                slots = [mg]
+                for j in range(min(mt, m - 1)):
+                    off = 2 * s + (1 + j) * n_p
+                    slots.append(_mask_reduce(d, mask_p, off0, off, off + n_p))
+                if packed:
+                    word = row0 << (8 * m)
+                    for j, sl in enumerate(slots):
+                        word = word | (sl << (8 * (m - 1 - j)))
+                    out_ref[pl.ds(q * UNROLL_FUSED + u, 1), :] = word
+                else:
+                    base = (q * UNROLL_FUSED + u) * (m + 1)
+                    out_ref[pl.ds(base, 1), :] = row0
+                    for j, sl in enumerate(slots):
+                        out_ref[pl.ds(base + 1 + j, 1), :] = sl
+                off_e = 2 * s + (1 + mt) * n_p
+                tend = _mask_reduce(d, mask_p, off0, off_e, off_e + n_p)
+                state = jnp.where(p > 0, tend, mg)
+            return state
+
+        state = jax.lax.fori_loop(0, kt // UNROLL_FUSED, body, state_ref[:])
+        state_ref[:] = state
+
+        @pl.when(i_k == n_k - 1)
+        def _():
+            exits_ref[pl.ds(i_l, 1), :] = state
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("m", "mt", "s", "interpret"))
+def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
+                       interpret: bool = False):
+    """One full one-pass decode sweep: xs int32[K, lanes] byte rows, t_fused
+    bf16[256, 2s+9(mt+2)] (format.fsm8.fused_decode_tensors), entries
+    int32[lanes]. Returns (vals int32[K, m+1, lanes] — the
+    expand_pass_pallas8 packed layout — and exits int32[lanes])."""
+    k, lanes = xs.shape
+    t_fused = to_kernel_table(t_fused)
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE_FUSED, k)
+    if lanes % lt or k % kt or kt % UNROLL_FUSED:
+        raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
+    grid = (lanes // lt, k // kt)
+    out, exits = pl.pallas_call(
+        _fused_kernel(m, mt, s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fused table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # entries, whole array
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (kt * (m + 1), lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exits, whole array
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k * (m + 1), lanes), jnp.int32),
+            jax.ShapeDtypeStruct((lanes // lt, lt), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, lt), jnp.int32)],
+        interpret=interpret,
+    )(xs, t_fused, entries.reshape(lanes // lt, lt))
+    return out.reshape(k, m + 1, lanes), exits.reshape(lanes)
+
+
+@partial(jax.jit, static_argnames=("m", "mt", "s", "max_passes", "interpret"))
+def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
+                             mt: int, s: int, max_passes: int | None = None,
+                             interpret: bool = False):
+    """One-pass Pallas decode: cols int32[lanes, K] -> (vals int32
+    [K, m+1, lanes] packed symbol rows, unconverged bool). The suffix sync
+    uses the narrow [256, S] sync table; the fixed-point loop runs whole
+    fused passes (typically exactly one — the suffix guess is near-exact)."""
+    from .decode8 import MAX_SYNC_PASSES, SYNC_WINDOW
+
+    lanes, k = cols.shape
+    xs = cols.T  # [K, lanes]
+    real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+    mp = max_passes or MAX_SYNC_PASSES
+
+    w = min(SYNC_WINDOW, k)
+    suffix_exits = sync_pass_pallas8(
+        xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), interpret=interpret
+    )
+    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+
+    def cond(c):
+        entries, prev, _, it = c
+        return jnp.logical_and(
+            it < mp, jnp.any(jnp.logical_and(entries != prev, real))
+        )
+
+    def body(c):
+        entries, _, _, it = c
+        vals, exits = fused_pass_pallas8(
+            xs, t_fused, entries, m, mt, s, interpret=interpret
+        )
+        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+        return new_entries, entries, vals, it + 1
+
+    vals0 = jnp.zeros((k, m + 1, lanes), jnp.int32)
+    entries, prev, vals, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
+    )
+    unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+    return vals, unconverged
 
 
 def unpack_states_packed(packed, k: int):

@@ -407,3 +407,99 @@ def test_fused_mode_env_knob(monkeypatch, macbeth):
     t, m, mt = build_expand(build_byte_fsm(hdr.table))
     assert mt is None
     assert _roundtrip_full(macbeth) == macbeth
+
+
+# --- one-pass decode (format.fsm8.fused_decode_tensors) ---
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"the quick brown fox jumps over the lazy dog " * 40,
+        (b"a" * 500 + b"bcd") * 9,  # skewed: multi-symbol bytes, m near 8
+        bytes(range(256)) * 9,  # full alphabet, m = 1
+        b"\x00" * 120 + bytes(range(64)) * 12,  # NUL symbols
+    ],
+)
+def test_onepass_matches_twopass(data):
+    """The one-pass decode's packed rows must equal the emit-pass states
+    fed through the split expand, byte for byte."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.format.fsm8 import build_byte_fsm, split_expand_tensors
+    from entreepy_tpu.ops import decode8
+
+    et = compress_host(data)
+    hdr = parse_header(et)
+    fsm = build_byte_fsm(hdr.table)
+    buf = np.frombuffer(et, np.uint8)[hdr.body_start :]
+    chunk = 64
+    lanes = max(1, -(-buf.size // chunk))
+    padded = np.zeros(lanes * chunk, np.uint8)
+    padded[: buf.size] = buf
+    cols = decode8.bytes_to_cols(padded, lanes, chunk)
+    tbl = decode8._table_T_bf16(fsm)
+
+    states, u1 = decode8.fsm8_decode(cols, tbl, jnp.int32(lanes))
+    assert not bool(u1)
+    ts, m, mt = split_expand_tensors(fsm)
+    nv = jnp.int32(buf.size)
+    want = decode8.expand_pass_split(
+        cols, states, jnp.asarray(ts, jnp.bfloat16), nv, m, mt
+    )
+
+    t_fused, m2, mt2, s = decode8.build_fused(fsm)
+    assert (m2, mt2) == (m, mt)
+    vals, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
+                                         m, mt, s)
+    assert not bool(u2)
+    got = decode8._expand_mask(
+        vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m
+    )
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_onepass_table_semantics():
+    """fused_decode_tensors must reproduce (next_state, counts, syms)
+    exactly for every reachable (state, byte) pair."""
+    from entreepy_tpu.format import build_code_table, histogram
+    from entreepy_tpu.format.fsm8 import build_byte_fsm, fused_decode_tensors
+
+    rng = np.random.default_rng(5)
+    data = rng.choice(
+        np.frombuffer(b"abcdefgh XYZ.\n", np.uint8), 4000
+    ).astype(np.uint8)
+    fsm = build_byte_fsm(build_code_table(histogram(data)))
+    t, m, mt, s = fused_decode_tensors(fsm)
+    n_p = 9
+    merged = t[:, 0:s].T
+    pv = t[:, s : 2 * s].T
+    tc_t = t[:, 2 * s : 2 * s + n_p].T
+    ts_t = [t[:, 2 * s + (1 + j) * n_p : 2 * s + (2 + j) * n_p].T for j in range(mt)]
+    tend = t[:, 2 * s + (1 + mt) * n_p :].T
+    b = np.arange(256)
+    for st in range(fsm.n_states):
+        p = pv[st].astype(int) & 15
+        inv = (pv[st] >= 16) | ((p > 0) & (tc_t[p, b] >= 16))
+        tc = tc_t[p, b].astype(int) & 15
+        cnt = np.where(inv, -1, (p > 0).astype(int) + tc)
+        ref = fsm.counts[st].astype(int)
+        assert np.array_equal(cnt < 0, ref < 0)
+        valid = ref >= 0
+        assert np.array_equal(cnt[valid], ref[valid])
+        nxt = np.where(p > 0, tend[p, b], merged[st]).astype(int)
+        assert np.array_equal(nxt[valid], fsm.next_state[st][valid].astype(int))
+        for bb in np.flatnonzero(valid & (ref > 0)):
+            got = [int(merged[st, bb])] + [
+                int(ts_t[j][p[bb], bb]) for j in range(min(mt, ref[bb] - 1))
+            ]
+            assert got == [int(x) for x in fsm.syms[st, bb, : ref[bb]]]
+
+
+def test_expand_mode_env_knobs(monkeypatch, macbeth):
+    """All three expand modes round-trip decode_body_device_full."""
+    for mode in ("onepass", "split", "fused"):
+        monkeypatch.setenv("ENTREEPY_EXPAND", mode)
+        assert _roundtrip_full(macbeth) == macbeth

@@ -51,3 +51,35 @@ def test_lane_tile_constants_match():
     from entreepy_tpu.ops import decode8, pallas_fsm8
 
     assert decode8.LANE_TILE == pallas_fsm8.LANE_TILE
+
+
+def test_fused_pallas_interpret_matches_scan(midsummer):
+    """The one-pass Pallas kernel (interpret mode) must equal the XLA scan
+    twin bit-for-bit, including exits, on a multi-k-tile shape."""
+    from entreepy_tpu.ops.decode8 import (
+        _fused_scan_pass, build_fused, fsm8_decode_fused,
+    )
+    from entreepy_tpu.ops.pallas_fsm8 import (
+        fsm8_decode_fused_pallas, fused_pass_pallas8,
+    )
+
+    cols, fsm, n_real = _prep(midsummer[:40000], chunk_bytes=16)
+    t_fused, m, mt, s = build_fused(fsm)
+    xs = cols.T
+    entries = jnp.zeros(cols.shape[0], jnp.int32)
+    raw, syms, exits = _fused_scan_pass(xs, t_fused, entries, m, mt, s)
+    vals, exits_p = fused_pass_pallas8(xs, t_fused, entries, m, mt, s,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(exits), np.asarray(exits_p))
+    assert np.array_equal(np.asarray(raw), np.asarray(vals[:, 0, :]))
+    assert np.array_equal(
+        np.asarray(syms), np.asarray(vals[:, 1:, :]).astype(np.uint8)
+    )
+
+    v1, u1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
+                               jnp.int32(n_real), m, mt, s)
+    v2, u2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
+                                      jnp.int32(n_real), m, mt, s,
+                                      interpret=True)
+    assert bool(u1) == bool(u2) is False
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))

@@ -231,24 +231,34 @@ def _device_probe_stages(et: bytes):
         "pack_MBps": round(arr.size / pack_s / 1e6, 0),
     }
 
-    # end-to-end device decode (FSM passes + on-device expansion +
-    # compaction in ONE jit; checksum readback, dispatch-corrected) — the
-    # honest chip number for compressed->bytes, not just per-pass.
+    # end-to-end device decode (ONE-PASS fused FSM+emit kernel -> packed
+    # one-word rows -> on-device compaction, all in ONE jit; checksum
+    # readback, dispatch-corrected) — the honest chip number for
+    # compressed->bytes, not just per-pass. Matches decode_body_device_full
+    # pod defaults (onepass + packed).
     from entreepy_tpu.ops.decode8 import (
-        build_expand, compact_symbols_device, run_expand, sym_cap,
+        CAP_SYM_ROUND, SUB_BYTES, build_fused, compact_symbols_packed,
+        packed_mini_totals, run_fused_decode,
     )
 
-    texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
-    s0, _u = decode_fn(cols, tbl, jnp.int32(n_real))
-    counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m)  # per-subgroup cap (tiny fetch)
+    t_fused, m, mt, s_pad = build_fused(fsm)
+    v0, _u = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m, mt,
+                              s_pad, packed=True)
+    mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
+    sb_ = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
+    cap_sym = min(
+        -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
+        sb_ * m,
+    )  # per-subgroup cap (tiny sizing fetch)
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
 
     @jax.jit
-    def e2e(cols_, tbl_, texp_):
-        s, u = decode_fn(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+    def e2e(cols_, tbl_, tf_):
+        vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real), m,
+                                   mt, s_pad, packed=True)
+        plane, mt_, lt, wi = compact_symbols_packed(
+            vals, jnp.int32(buf.size), m, cap_sym
+        )
         # plane is a [Gs, cap_sym, lanes] grid of mini-lane segments
         gs = mt_.shape[0]
         pl3 = plane.reshape(gs, cap_sym, -1)
@@ -265,7 +275,7 @@ def _device_probe_stages(et: bytes):
     # pod-representative chip number (chaining inside one jit would be
     # cleaner but its compile blows the probe budget).
     def e2e_burst(n):
-        outs = [e2e(cols, tbl, texp) for _ in range(n)]
+        outs = [e2e(cols, tbl, t_fused) for _ in range(n)]
         return sum(int(a) + int(b) for a, b in outs[-1:])
 
     _, t1 = best_of(lambda: e2e_burst(1), 1, 3)
@@ -277,26 +287,32 @@ def _device_probe_stages(et: bytes):
         "decode_e2e_MBps": round(n_out / e2e_s / 1e6, 0),
     }
 
-    # end-to-end device encode (Pallas pack + on-device flat compaction in
-    # ONE jit; checksum readback, burst-marginal) — the chip number for
-    # bytes->compressed-words, matching benchmarks/device.py.
+    # end-to-end device encode (Pallas pack + SINGLE-stage plane compaction
+    # in ONE jit; checksum readback, burst-marginal) — the chip number for
+    # bytes->compressed-words, matching encode_blocks_device pod defaults
+    # (ENTREEPY_ENC_COMPACT=plane).
     from entreepy_tpu.ops.bitpack import (
-        compact_payload_flat, flat_cap, grouped_counts, payload_cap_g,
+        compact_payload_plane, grouped_counts_plane, plane_cap_g,
     )
 
     w0, e0_, a0, n0 = pack_blocks_pallas(bj, vj, ctj)
-    cnts_g = np.asarray(grouped_counts(e0_))
-    cap = payload_cap_g(int(cnts_g.max(initial=1)), w0.shape[1])
-    cap_total = flat_cap(int(cnts_g.sum()) + cnts_g.shape[0])
+    cnts_g = np.asarray(grouped_counts_plane(e0_))
+    cap = plane_cap_g(int(cnts_g.max(initial=1)), w0.shape[1])
 
     @jax.jit
     def e2e_enc(b_, v_, ct_):
         w, e, a, nn = pack_blocks_pallas(b_, v_, ct_)
-        flat, nwords, bl = compact_payload_flat(w, e, a, nn, cap, cap_total)
-        j = jnp.arange(cap_total, dtype=jnp.int32)
-        live = (j < jnp.sum(nwords)).astype(jnp.int32)
-        fi = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        return jnp.sum((fi ^ j) * live), jnp.sum(bl)
+        plane, counts_g, bl = compact_payload_plane(w, e, a, nn, cap)
+        # live-prefix checksum: only the words the host would slice count
+        lanes_, gc = plane.shape
+        g = counts_g.shape[1]
+        fi = jax.lax.bitcast_convert_type(plane, jnp.int32)
+        pay = fi[:, : g * cap].reshape(lanes_, g, cap)
+        jj = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        live = (jj < counts_g[:, :, None]).astype(jnp.int32)
+        idx = jnp.arange(g * cap, dtype=jnp.int32).reshape(1, g, cap)
+        acc_col = fi[:, -1] ^ (g * cap)  # final partial word: always live
+        return jnp.sum((pay ^ idx) * live) + jnp.sum(acc_col), jnp.sum(bl)
 
     def enc_burst(n):
         outs = [e2e_enc(bj, vj, ctj) for _ in range(n)]

@@ -122,41 +122,66 @@ def main() -> int:
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
 
-    # ------------- end-to-end device encode (bytes -> flat payload) -------
-    # One jit: Pallas pack -> per-lane sort compaction -> flat 1-D stream
-    # (the round-3 D2H/DCN-volume fix) + a position-weighted checksum
-    # readback. Output = the compressed words, still on device.
+    # ------------- end-to-end device encode (bytes -> payload plane) ------
+    # One jit: Pallas pack -> SINGLE-stage per-subgroup sort compaction
+    # (encode_blocks_device pod default, ENTREEPY_ENC_COMPACT=plane) + a
+    # position-weighted live-prefix checksum readback. Output = the
+    # compressed words, still on device.
     from entreepy_tpu.ops.bitpack import (
-        compact_payload_flat, flat_cap, grouped_counts, payload_cap_g,
+        compact_payload_plane, grouped_counts_plane, plane_cap_g,
     )
 
-    cnts_g = np.asarray(grouped_counts(e2))
-    cap = payload_cap_g(int(cnts_g.max(initial=1)), w2.shape[1])
-    cap_total = flat_cap(int(cnts_g.sum()) + cnts_g.shape[0])
+    cnts_g = np.asarray(grouped_counts_plane(e2))
+    cap = plane_cap_g(int(cnts_g.max(initial=1)), w2.shape[1])
 
     @jax.jit
     def e2e_enc(b_, v_, ct_):
         w, e, a, nn = pack_blocks_pallas(b_, v_, ct_)
-        flat, nwords, bl = compact_payload_flat(w, e, a, nn, cap, cap_total)
-        j = jnp.arange(cap_total, dtype=jnp.int32)
-        live = (j < jnp.sum(nwords)).astype(jnp.int32)
-        fi = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        return jnp.sum((fi ^ j) * live), jnp.sum(bl)
+        plane, counts_g, bl = compact_payload_plane(w, e, a, nn, cap)
+        lanes_, gc = plane.shape
+        g = counts_g.shape[1]
+        fi = jax.lax.bitcast_convert_type(plane, jnp.int32)
+        pay = fi[:, : g * cap].reshape(lanes_, g, cap)
+        jj = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        live = (jj < counts_g[:, :, None]).astype(jnp.int32)
+        idx = jnp.arange(g * cap, dtype=jnp.int32).reshape(1, g, cap)
+        acc_col = fi[:, -1] ^ (g * cap)  # final partial word: always live
+        return jnp.sum((pay ^ idx) * live) + jnp.sum(acc_col), jnp.sum(bl)
 
-    # correctness: the device flat stream must equal the host-compacted one
-    from entreepy_tpu.ops.bitpack import assemble_payloads
+    # correctness: the device plane's live prefixes must equal the host-
+    # compacted words (position-weighted within each subgroup row)
+    from entreepy_tpu.ops.bitpack import (
+        assemble_plane_payload, assemble_payloads,
+    )
 
     chk_d, bits_d = (int(x) for x in e2e_enc(b, v, ct))
+    plane_h, cg_h, bl_p = compact_payload_plane(w2, e2, a2, n2, cap)
+    flat_h, nw_p = assemble_plane_payload(np.asarray(plane_h), np.asarray(cg_h))
     pay_h, bl_h = assemble_payloads(
         np.asarray(w2), np.asarray(e2), np.asarray(a2), np.asarray(n2)
     )
+    assert bits_d == int(np.sum(bl_h)), (bits_d, int(np.sum(bl_h)))
+    # independent anchor: plane live prefixes == the host-compacted stream
     nw_h = (np.asarray(bl_h) - np.asarray(n2)) // 32 + 1
     exp_flat = np.concatenate(
         [pay_h[l, : nw_h[l]] for l in range(pay_h.shape[0])]
-    ).astype(np.int64)
-    exp_chk = int(np.sum(exp_flat ^ np.arange(exp_flat.size)))
-    assert bits_d == int(np.sum(bl_h)), (bits_d, int(np.sum(bl_h)))
-    assert chk_d & 0xFFFFFFFF == exp_chk & 0xFFFFFFFF, "device e2e encode checksum"
+    )
+    assert np.array_equal(nw_p, nw_h), "plane word counts"
+    assert np.array_equal(flat_h.astype(np.uint32), exp_flat.astype(np.uint32)), (
+        "plane payload != host-compacted stream"
+    )
+    # per-(lane, subgroup) position-weighted expected checksum
+    cg_np = np.asarray(cg_h)
+    lanes_e, g_e = cg_np.shape
+    pl_np = np.asarray(plane_h).view(np.int32).reshape(lanes_e, -1)
+    payv = pl_np[:, : g_e * cap].reshape(lanes_e, g_e, cap).astype(np.int64)
+    jjn = np.arange(cap)[None, None, :]
+    liven = jjn < cg_np[:, :, None]
+    idxn = np.arange(g_e * cap).reshape(1, g_e, cap)
+    exp_chk = int(np.sum((payv ^ idxn) * liven)) + int(
+        np.sum(pl_np[:, -1].astype(np.int64) ^ (g_e * cap))
+    )
+    assert chk_d == exp_chk, "device e2e encode checksum"
 
     def enc_burst(n):
         outs = [e2e_enc(b, v, ct) for _ in range(n)]
@@ -223,26 +248,36 @@ def main() -> int:
     results["bit_equal"] = True
 
     # ---------------- end-to-end device decode (compressed -> bytes) ------
-    # One jit: FSM passes -> device symbol expansion -> device compaction.
-    # The output is verified by an exact position-weighted checksum readback
-    # (a value-dependent fetch — through the tunnel a 5 MB output fetch
-    # would swamp compute; correctness is separately pinned by tests).
+    # One jit: ONE-PASS fused FSM+emit kernel -> packed one-word rows ->
+    # device compaction (decode_body_device_full pod defaults). The output
+    # is verified by an exact position-weighted checksum readback (a value-
+    # dependent fetch — through the tunnel a 5 MB output fetch would swamp
+    # compute; correctness is separately pinned by tests).
     from entreepy_tpu.ops.decode8 import (
-        build_expand, compact_symbols_device, run_expand, sym_cap,
+        CAP_SYM_ROUND, SUB_BYTES, build_fused, compact_symbols_packed,
+        packed_mini_totals, run_fused_decode,
     )
 
-    texp, m, mt = build_expand(fsm)  # split table by default (ENTREEPY_EXPAND)
-    counts0, _, _ = run_expand(cols, s2, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m)  # per-subgroup cap (tiny fetch)
+    t_fused, m, mt, s_pad = build_fused(fsm)
+    v0, _u0 = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m, mt,
+                               s_pad, packed=True)
+    mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
+    sb_ = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
+    cap_sym = min(
+        -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
+        sb_ * m,
+    )  # per-subgroup cap (tiny sizing fetch)
     N_SYM = len(data)  # checksum only real output positions (the final body
     # byte's zero-padding bits can emit one trailing extra symbol, trimmed
     # on the real decode path)
 
     @jax.jit
-    def e2e(cols_, tbl_, texp_):
-        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+    def e2e(cols_, tbl_, tf_):
+        vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real), m,
+                                   mt, s_pad, packed=True)
+        plane, mt_, lt, wi = compact_symbols_packed(
+            vals, jnp.int32(buf.size), m, cap_sym
+        )
         # position-weighted checksum over the live, consumed prefix; the
         # plane is a [Gs, cap_sym, lanes] grid of mini-lane segments
         gs = mt_.shape[0]
@@ -255,7 +290,7 @@ def main() -> int:
         return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
 
     def run_e2e():
-        a, b_ = e2e(cols, tbl, texp)
+        a, b_ = e2e(cols, tbl, t_fused)
         return int(a), int(b_)
 
     (chk, tot), _t = run_e2e(), None
@@ -273,7 +308,7 @@ def main() -> int:
     # pod-representative chip number (chaining inside one jit would be
     # cleaner but its compile blows the probe budget).
     def e2e_burst(n):
-        outs = [e2e(cols, tbl, texp) for _ in range(n)]
+        outs = [e2e(cols, tbl, t_fused) for _ in range(n)]
         return sum(int(a) + int(b) for a, b in outs[-1:])
 
     t1 = best_of(lambda: e2e_burst(1))

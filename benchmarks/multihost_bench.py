@@ -37,14 +37,14 @@ def run_group(n_procs: int, mb_per_dev: float) -> str:
     coordinator = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_COMPILATION_CACHE_DIR"] = str(ROOT / ".jax_cache")
-    # Pin each process to its own 2 vCPUs (same per-process budget at every
-    # N) so the efficiency figure measures cross-process coordination, not
-    # core oversubscription on this 4-vCPU host.
+    # Pin each process to its own SINGLE vCPU (same per-process budget at
+    # every N, up to N=4 on this 4-vCPU host) so the efficiency figure
+    # measures cross-process coordination, not core oversubscription.
     import shutil
 
     def pin(pid: int) -> list[str]:
-        if shutil.which("taskset") and (os.cpu_count() or 0) >= 2 * n_procs:
-            return ["taskset", "-c", f"{2 * pid},{2 * pid + 1}"]
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= n_procs:
+            return ["taskset", "-c", str(pid)]
         return []
 
     procs = [
@@ -66,9 +66,13 @@ def run_group(n_procs: int, mb_per_dev: float) -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--per-dev-mb", type=float, default=2.0)
+    ap.add_argument("--per-dev-mb", type=float, default=3.0)
+    ap.add_argument(
+        "--procs", type=str, default="1,2,4",
+        help="comma-separated process counts (each pinned to 1 vCPU)",
+    )
     args = ap.parse_args()
-    for n in (1, 2):
+    for n in (int(x) for x in args.procs.split(",")):
         print(run_group(n, args.per_dev_mb), flush=True)
     return 0
 

@@ -13,12 +13,15 @@ Four interchangeable backends produce byte-identical .et output:
                 decode a 5.2 MB corpus in a few ms of TPU time, but a single
                 compress/decompress call must move the input and output over
                 PCIe (or, in this dev environment, a slow tunnel). Auto
-                therefore uses the native host runtime when present and only
-                routes to the TPU above ``ENTREEPY_DEVICE_MIN`` bytes
-                (default: never when the native runtime exists, 64 KiB
-                otherwise) — choosing ``sharded`` when more than one device
-                is visible. Production pods with local PCIe set e.g.
-                ``ENTREEPY_DEVICE_MIN=8000000``.
+                therefore uses the native host runtime when present and
+                routes to the TPU only above ``ENTREEPY_DEVICE_MIN`` bytes.
+                Without that env var the threshold is CALIBRATED once per
+                process: inputs >= 8 MiB time a small host->device->host
+                round-trip; a PCIe-class link (>= ~100 MB/s) routes >= 8 MiB
+                calls on-device, a slow link (this dev tunnel measures
+                15-30 MB/s) keeps everything on host. Inputs below 8 MiB
+                never pay the calibration (host wins there regardless).
+                Multi-device processes choose ``sharded`` over ``device``.
 """
 
 from __future__ import annotations
@@ -28,9 +31,45 @@ import os
 from .format import compress_host, decompress_host
 
 DEVICE_MIN_BYTES = 1 << 16
+# Auto-routing floor when the native host runtime exists: even over ideal
+# PCIe, calls below this size are dominated by transfer+dispatch overhead
+# the 4-core host codec doesn't pay.
+POD_DEVICE_MIN = 8 << 20
+# A device link must beat this to ever win an auto-routed call (PCIe gen3
+# does ~10 GB/s; the dev tunnel measures 15-30 MB/s).
+H2D_MIN_BYTES_PER_S = 100e6
+
+_h2d_fast_cache: list = []  # [bool], measured once per process
 
 
-def _device_min() -> int:
+def _h2d_fast() -> bool:
+    """One-shot host->device bandwidth probe (persisted per process): times
+    a 1 MiB transfer with a value-dependent readback (block_until_ready is
+    unreliable on tunneled backends). False when no accelerator is present
+    or the link is below H2D_MIN_BYTES_PER_S."""
+    if not _h2d_fast_cache:
+        ok = False
+        try:
+            import time
+
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            if jax.default_backend() in ("tpu", "axon"):
+                arr = np.ones(1 << 18, np.float32)  # 1 MiB
+                int(jnp.sum(jax.device_put(arr)))  # warm dispatch path
+                t0 = time.perf_counter()
+                int(jnp.sum(jax.device_put(arr + 1)))
+                dt = time.perf_counter() - t0
+                ok = arr.nbytes / max(dt, 1e-9) >= H2D_MIN_BYTES_PER_S
+        except Exception:
+            ok = False
+        _h2d_fast_cache.append(ok)
+    return _h2d_fast_cache[0]
+
+
+def _device_min(n_bytes: int = 0) -> int:
     env = os.environ.get("ENTREEPY_DEVICE_MIN")
     if env is not None:
         try:
@@ -44,9 +83,13 @@ def _device_min() -> int:
             )
     from . import runtime
 
-    if runtime.available():
-        return 1 << 62  # native host runtime beats transfer-bound device calls
-    return DEVICE_MIN_BYTES
+    if not runtime.available():
+        return DEVICE_MIN_BYTES
+    if n_bytes < POD_DEVICE_MIN:
+        # Host wins below the best-case device threshold — don't pay the
+        # calibration (or a jax import) for small calls.
+        return 1 << 62
+    return POD_DEVICE_MIN if _h2d_fast() else 1 << 62
 
 
 def compress(data: bytes, *, strict: bool = True, backend: str | None = None,
@@ -154,7 +197,7 @@ def _pick_backend(backend: str | None, n_bytes: int) -> str:
         raise ValueError(
             f"unknown backend {backend!r} (want None, 'host', 'device', 'sharded')"
         )
-    if n_bytes < _device_min():
+    if n_bytes < _device_min(n_bytes):
         return "host"
     import jax
 

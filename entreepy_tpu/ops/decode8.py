@@ -366,12 +366,41 @@ def _fused_scan_pass(cols_T, t_fused, entries, m: int, mt: int, s: int):
     return raw, syms.astype(jnp.uint8), exits  # [K, lanes], [K, m, lanes]
 
 
-@partial(jax.jit, static_argnames=("m", "mt", "s", "max_passes"))
+def pack_fused_rows(raw, syms, m: int):
+    """(raw [K, lanes], syms uint8[K, m, lanes]) -> one int32 word per byte
+    ``row0 << 8m | slot_j << 8(m-1-j)`` (the Pallas packed layout; needs
+    5 + 8m <= 29 bits, i.e. m <= 3)."""
+    word = raw << (8 * m)
+    for j in range(m):
+        word = word | (syms[:, j, :].astype(jnp.int32) << (8 * (m - 1 - j)))
+    return word
+
+
+def unpack_fused_rows(words, m: int):
+    """Inverse of :func:`pack_fused_rows` -> (raw [K, lanes], syms
+    uint8[K, m, lanes]). Pure elementwise shifts — XLA fuses these into
+    whatever consumes them."""
+    raw = jax.lax.shift_right_logical(words, 8 * m)
+    syms = jnp.stack(
+        [
+            (jax.lax.shift_right_logical(words, 8 * (m - 1 - j)) & 255).astype(
+                jnp.uint8
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    return raw, syms
+
+
+@partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "max_passes"))
 def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
-                      s: int, max_passes: int = MAX_SYNC_PASSES):
+                      s: int, packed: bool = False,
+                      max_passes: int = MAX_SYNC_PASSES):
     """Scan-based one-pass decode (CPU meshes / fallback): cols int32
-    [lanes, K] -> (vals int32[K, m+1, lanes] packed rows, unconverged).
-    Same structure as pallas_fsm8.fsm8_decode_fused_pallas."""
+    [lanes, K] -> (vals int32[K, m+1, lanes] packed rows — or [K, lanes]
+    one-word rows when ``packed`` — and unconverged). Same structure as
+    pallas_fsm8.fsm8_decode_fused_pallas."""
     lanes, k = cols.shape
     xs = cols.T
     real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
@@ -381,24 +410,28 @@ def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
     entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
 
     def cond(c):
-        entries, prev, _, _, it = c
+        entries, prev, _, it = c
         return jnp.logical_and(
             it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
         )
 
     def body(c):
-        entries, _, _, _, it = c
+        entries, _, _, it = c
         raw, syms, exits = _fused_scan_pass(xs, t_fused, entries, m, mt, s)
+        if packed:
+            vals = pack_fused_rows(raw, syms.astype(jnp.int32), m)
+        else:
+            vals = jnp.concatenate(
+                [raw[:, None, :], syms.astype(jnp.int32)], axis=1
+            )
         new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-        return new_entries, entries, raw, syms, it + 1
+        return new_entries, entries, vals, it + 1
 
-    raw0 = jnp.zeros((k, lanes), jnp.int32)
-    syms0 = jnp.zeros((k, m, lanes), jnp.uint8)
-    entries, prev, raw, syms, _ = jax.lax.while_loop(
-        cond, body, (entries0, entries0 - 1, raw0, syms0, jnp.int32(0))
+    vals0 = jnp.zeros((k, lanes) if packed else (k, m + 1, lanes), jnp.int32)
+    entries, prev, vals, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
     )
     unconverged = jnp.any(jnp.logical_and(entries != prev, real))
-    vals = jnp.concatenate([raw[:, None, :], syms.astype(jnp.int32)], axis=1)
     return vals, unconverged
 
 
@@ -412,17 +445,44 @@ def build_fused(fsm: ByteFsm):
 
 
 def run_fused_decode(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
-                     s: int):
+                     s: int, packed: bool = False):
     """Dispatch the one-pass decode to the Pallas kernel on real TPUs, the
-    XLA scan elsewhere. Returns (vals int32[K, m+1, lanes], unconverged).
-    Raises ValueError on Pallas-tile-incompatible shapes (callers fall back
-    to the two-pass path)."""
+    XLA scan elsewhere. Returns (vals int32[K, m+1, lanes] — [K, lanes]
+    when ``packed`` — and unconverged). Raises ValueError on Pallas-tile-
+    incompatible shapes (callers fall back to the two-pass path)."""
     if _use_pallas():
         from .pallas_fsm8 import fsm8_decode_fused_pallas
 
         return fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes,
-                                        m, mt, s)
-    return fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m, mt, s)
+                                        m, mt, s, packed=packed)
+    return fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m, mt, s,
+                             packed=packed)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def packed_mini_totals(words, n_valid, m: int):
+    """Per-(subgroup, lane) symbol totals straight from packed fused words
+    (the :func:`sym_cap` sizing reduce without materializing counts in
+    HBM). Returns int32[Gs, lanes]."""
+    k, lanes = words.shape
+    raw, _ = unpack_fused_rows(words, m)
+    pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
+        k, dtype=jnp.int32
+    )[:, None]
+    counts = jnp.where(pos < n_valid, raw & 15, 0)
+    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    return jnp.sum(counts.reshape(k // sb, sb, lanes), axis=1)
+
+
+@partial(jax.jit, static_argnames=("m", "cap_sym"))
+def compact_symbols_packed(words, n_valid, m: int, cap_sym: int, pos0=0):
+    """Packed fused words -> compacted symbol plane: unpack (elementwise
+    shifts, fused by XLA into the compaction's key build — no [K, m+1,
+    lanes] intermediate ever hits HBM) + real-byte mask + the per-subgroup
+    sort of :func:`compact_symbols_device`. Same returns."""
+    raw, syms = unpack_fused_rows(words, m)
+    counts, inv, syms = _expand_mask(raw, syms, n_valid, m, pos0)
+    return compact_symbols_device(counts, inv, syms, m, cap_sym)
 
 
 def expand_pass_split(cols, states, t_split, n_valid, m: int, mt: int, pos0=0):
@@ -641,26 +701,47 @@ def decode_body_device_full(
     mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
     unconverged = True
     counts = inv = syms = None
+    compacted = None
     if mode == "onepass":
         # One-pass decode: a single fused kernel emits the packed symbol
         # rows directly (no separate emit pass, no state HBM round-trip).
+        # For m <= 3 the whole per-byte row rides ONE int32 word (packed
+        # mode): 1/(m+1) of the kernel's HBM writes, and the compaction
+        # unpacks it with fused shifts.
         t_fused, m, mt, s = build_fused(fsm)
+        packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
         try:
             with phase("device_fsm8_decode", n_symbols):
                 cols = bytes_to_cols(padded, lanes, chunk_bytes)
                 vals, unconverged = run_fused_decode(
                     cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real_lanes),
-                    m, mt, s,
+                    m, mt, s, packed=packed,
                 )
             if not bool(unconverged):
                 with phase("device_expand", n_symbols):
-                    counts, inv, syms = _expand_mask(
-                        vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8),
-                        jnp.int32(buf.size), m,
-                    )
+                    if packed:
+                        nv = jnp.int32(buf.size)
+                        mini = packed_mini_totals(vals, nv, m)
+                        mx = max(int(jnp.max(mini)), 1)
+                        sb = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
+                        cap_sym = min(
+                            -(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m
+                        )
+                        compacted = compact_symbols_packed(
+                            vals, nv, m, cap_sym
+                        )
+                    else:
+                        counts, inv, syms = _expand_mask(
+                            vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8),
+                            jnp.int32(buf.size), m,
+                        )
         except ValueError:  # Pallas-tile-incompatible shapes: two-pass path
             mode = "split"
-    if counts is None and not (mode == "onepass" and bool(unconverged)):
+    if (
+        counts is None
+        and compacted is None
+        and not (mode == "onepass" and bool(unconverged))
+    ):
         with phase("device_fsm8_decode", n_symbols):
             cols = bytes_to_cols(padded, lanes, chunk_bytes)
             decode_fn = select_fsm8_decoder()
@@ -684,11 +765,14 @@ def decode_body_device_full(
         out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
         _check_stream_bits(out, table.lengths, buf.size)
         return out
-    with phase("device_expand", n_symbols):
-        cap_sym = sym_cap(counts, m)  # tiny sizing fetch
-        plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
-            counts, inv, syms, m, cap_sym
-        )
+    if compacted is not None:
+        plane, mini_tot, lane_tot, w_inv = compacted
+    else:
+        with phase("device_expand", n_symbols):
+            cap_sym = sym_cap(counts, m)  # tiny sizing fetch
+            plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
+                counts, inv, syms, m, cap_sym
+            )
     with phase("device_sym_fetch", n_symbols):
         out = assemble_symbol_plane(
             plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size
@@ -696,10 +780,26 @@ def decode_body_device_full(
     return out
 
 
+def device_e2e_default() -> bool:
+    """Pod default for the device decode's expansion stage: fully on-device
+    (``decode_body_device_full``) on a real TPU backend; host expansion on
+    tunneled/dev backends where the state fetch is cheaper than the extra
+    device passes. ENTREEPY_DEVICE_E2E=1/0 overrides either way."""
+    env = os.environ.get("ENTREEPY_DEVICE_E2E")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def decompress_device(et: bytes, *, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> bytes:
-    """Complete .et file -> original bytes, decoded chunk-parallel on device."""
+    """Complete .et file -> original bytes, decoded chunk-parallel on device.
+
+    On a real TPU backend the whole pipeline (FSM passes, symbol expansion,
+    compaction) runs on-device and only the final byte stream is fetched
+    (:func:`device_e2e_default`)."""
     hdr = parse_header(et)
-    out = decode_body_device(
+    body_fn = decode_body_device_full if device_e2e_default() else decode_body_device
+    out = body_fn(
         et[hdr.body_start :], hdr.table, hdr.body_len, chunk_bytes=chunk_bytes
     )
     return out.tobytes()

@@ -486,22 +486,27 @@ def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("m", "mt", "s", "interpret"))
+@partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "interpret"))
 def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
-                       interpret: bool = False):
+                       packed: bool = False, interpret: bool = False):
     """One full one-pass decode sweep: xs int32[K, lanes] byte rows, t_fused
     bf16[256, 2s+9(mt+2)] (format.fsm8.fused_decode_tensors), entries
-    int32[lanes]. Returns (vals int32[K, m+1, lanes] — the
-    expand_pass_pallas8 packed layout — and exits int32[lanes])."""
+    int32[lanes]. Returns (vals, exits int32[lanes]); vals is int32
+    [K, m+1, lanes] — the expand_pass_pallas8 packed layout — or, when
+    ``packed`` (m <= 3 only), ONE int32 word per byte [K, lanes] holding
+    ``row0 << 8m | slot_j << 8(m-1-j)`` — 1/(m+1) of the HBM writes."""
     k, lanes = xs.shape
+    if packed and m > 3:
+        raise ValueError(f"packed fused rows need 5 + 8m <= 29 bits (m={m})")
     t_fused = to_kernel_table(t_fused)
     lt = min(LANE_TILE, lanes)
     kt = min(K_TILE_FUSED, k)
     if lanes % lt or k % kt or kt % UNROLL_FUSED:
         raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
     grid = (lanes // lt, k // kt)
+    rows = 1 if packed else m + 1
     out, exits = pl.pallas_call(
-        _fused_kernel(m, mt, s),
+        _fused_kernel(m, mt, s, packed=packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
@@ -510,28 +515,33 @@ def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
         ],
         out_specs=(
             pl.BlockSpec(
-                (kt * (m + 1), lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
+                (kt * rows, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # exits, whole array
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((k * (m + 1), lanes), jnp.int32),
+            jax.ShapeDtypeStruct((k * rows, lanes), jnp.int32),
             jax.ShapeDtypeStruct((lanes // lt, lt), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((1, lt), jnp.int32)],
         interpret=interpret,
     )(xs, t_fused, entries.reshape(lanes // lt, lt))
+    if packed:
+        return out, exits.reshape(lanes)
     return out.reshape(k, m + 1, lanes), exits.reshape(lanes)
 
 
-@partial(jax.jit, static_argnames=("m", "mt", "s", "max_passes", "interpret"))
+@partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "max_passes",
+                                   "interpret"))
 def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
-                             mt: int, s: int, max_passes: int | None = None,
+                             mt: int, s: int, packed: bool = False,
+                             max_passes: int | None = None,
                              interpret: bool = False):
     """One-pass Pallas decode: cols int32[lanes, K] -> (vals int32
-    [K, m+1, lanes] packed symbol rows, unconverged bool). The suffix sync
-    uses the narrow [256, S] sync table; the fixed-point loop runs whole
-    fused passes (typically exactly one — the suffix guess is near-exact)."""
+    [K, m+1, lanes] packed symbol rows — or [K, lanes] one-word rows when
+    ``packed`` — and unconverged bool). The suffix sync uses the narrow
+    [256, S] sync table; the fixed-point loop runs whole fused passes
+    (typically exactly one — the suffix guess is near-exact)."""
     from .decode8 import MAX_SYNC_PASSES, SYNC_WINDOW
 
     lanes, k = cols.shape
@@ -554,12 +564,12 @@ def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
     def body(c):
         entries, _, _, it = c
         vals, exits = fused_pass_pallas8(
-            xs, t_fused, entries, m, mt, s, interpret=interpret
+            xs, t_fused, entries, m, mt, s, packed=packed, interpret=interpret
         )
         new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
         return new_entries, entries, vals, it + 1
 
-    vals0 = jnp.zeros((k, m + 1, lanes), jnp.int32)
+    vals0 = jnp.zeros((k, lanes) if packed else (k, m + 1, lanes), jnp.int32)
     entries, prev, vals, _ = jax.lax.while_loop(
         cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
     )

@@ -347,6 +347,17 @@ def _decode_fn(mesh: Mesh, axis: str):
     return f
 
 
+def sharded_device_expand_default() -> bool:
+    """Pod default for the sharded decode's expansion stage: fully on-shard
+    on real TPU meshes (the host does no per-byte work), states-fetch +
+    threaded host expansion on CPU/tunneled backends (faster on this 4-vCPU
+    dev host). ENTREEPY_SHARDED_DEVICE_EXPAND=1/0 overrides either way."""
+    env = os.environ.get("ENTREEPY_SHARDED_DEVICE_EXPAND")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def decompress_sharded(
     et: bytes,
     mesh: Mesh | None = None,
@@ -358,12 +369,13 @@ def decompress_sharded(
 ) -> bytes:
     """.et file -> original bytes, chunk-parallel across the mesh.
 
-    device_expand=True (or ENTREEPY_SHARDED_DEVICE_EXPAND=1) runs symbol
-    expansion + compaction ON the shards too (single-process meshes) —
-    each chip emits its own chunks' output bytes, so the host does no
-    per-byte work at all. Default: states fetch + threaded host expansion
-    (faster on this 4-vCPU dev host; the device path is the pod-scaling
-    story)."""
+    device_expand=True runs symbol expansion + compaction ON the shards too
+    (single-process meshes) — each chip emits its own chunks' output bytes,
+    so the host does no per-byte work at all. Default
+    (:func:`sharded_device_expand_default`): on-shard on real TPU meshes,
+    states fetch + threaded host expansion on CPU/tunneled backends (faster
+    on this 4-vCPU dev host). ENTREEPY_SHARDED_DEVICE_EXPAND=1/0 overrides
+    either way."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     hdr = parse_header(et)
@@ -399,7 +411,7 @@ def decompress_sharded(
     if jax.process_count() > 1:
         return _expand_multihost(states, buf, fsm, hdr.table, hdr.body_len, chunk_bytes)
     if device_expand is None:
-        device_expand = os.environ.get("ENTREEPY_SHARDED_DEVICE_EXPAND") == "1"
+        device_expand = sharded_device_expand_default()
     if device_expand:
         return _expand_on_shards(
             mesh, axis, cols, states, buf, fsm, hdr.table, hdr.body_len

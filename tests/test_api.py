@@ -48,6 +48,82 @@ def test_device_min_env(monkeypatch, macbeth):
         assert et.decompress(et.compress(macbeth)) == macbeth
 
 
+def test_auto_calibrated_routing(monkeypatch):
+    """Pod defaults (VERDICT r3 item 4): with the native runtime present,
+    auto routing consults the one-shot H2D calibration only for inputs
+    >= POD_DEVICE_MIN; a fast link routes those on-device, a slow link
+    (this dev tunnel) keeps them on host."""
+    from entreepy_tpu import api, runtime
+
+    monkeypatch.delenv("ENTREEPY_DEVICE_MIN", raising=False)
+    monkeypatch.setattr(runtime, "available", lambda: True)
+
+    # Small inputs must never pay the calibration probe.
+    def boom():
+        raise AssertionError("calibration probe ran for a small input")
+
+    monkeypatch.setattr(api, "_h2d_fast", boom)
+    assert api._pick_backend(None, api.POD_DEVICE_MIN - 1) == "host"
+
+    # Fast link: >= POD_DEVICE_MIN goes on-device (sharded on this mesh).
+    monkeypatch.setattr(api, "_h2d_fast", lambda: True)
+    assert api._pick_backend(None, api.POD_DEVICE_MIN) == "sharded"
+    # Slow link (tunnel): host keeps everything.
+    monkeypatch.setattr(api, "_h2d_fast", lambda: False)
+    assert api._pick_backend(None, api.POD_DEVICE_MIN) == "host"
+
+    # Without the native runtime the small fixed threshold applies.
+    monkeypatch.setattr(runtime, "available", lambda: False)
+    assert api._pick_backend(None, api.DEVICE_MIN_BYTES) == "sharded"
+    assert api._pick_backend(None, 10) == "host"
+
+
+def test_pod_expand_defaults(monkeypatch):
+    """On a real TPU backend the decode defaults go fully on-device; on
+    CPU/tunneled backends host expansion stays the default; env knobs
+    override both ways."""
+    import jax
+
+    from entreepy_tpu.ops import decode8
+    from entreepy_tpu.parallel import dist
+
+    monkeypatch.delenv("ENTREEPY_DEVICE_E2E", raising=False)
+    monkeypatch.delenv("ENTREEPY_SHARDED_DEVICE_EXPAND", raising=False)
+    for backend, want in (("tpu", True), ("cpu", False), ("axon", False)):
+        monkeypatch.setattr(jax, "default_backend", lambda b=backend: b)
+        assert decode8.device_e2e_default() is want
+        assert dist.sharded_device_expand_default() is want
+    monkeypatch.setenv("ENTREEPY_DEVICE_E2E", "1")
+    monkeypatch.setenv("ENTREEPY_SHARDED_DEVICE_EXPAND", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert decode8.device_e2e_default() is True
+    assert dist.sharded_device_expand_default() is True
+    monkeypatch.setenv("ENTREEPY_DEVICE_E2E", "0")
+    monkeypatch.setenv("ENTREEPY_SHARDED_DEVICE_EXPAND", "0")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert decode8.device_e2e_default() is False
+    assert dist.sharded_device_expand_default() is False
+
+
+def test_decompress_device_routes_full_pipeline(monkeypatch, midsummer):
+    """decompress_device must call decode_body_device_full when the pod
+    default says on-device e2e (and still round-trip)."""
+    from entreepy_tpu.ops import decode8
+
+    calls = []
+    real = decode8.decode_body_device_full
+
+    def spy(*a, **kw):
+        calls.append("full")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(decode8, "decode_body_device_full", spy)
+    monkeypatch.setenv("ENTREEPY_DEVICE_E2E", "1")
+    packed = et.compress(midsummer, backend="host")
+    assert decode8.decompress_device(packed) == midsummer
+    assert calls == ["full"]
+
+
 def test_file_helpers(tmp_path, macbeth):
     src = tmp_path / "m.txt"
     src.write_bytes(macbeth)

@@ -503,3 +503,60 @@ def test_expand_mode_env_knobs(monkeypatch, macbeth):
     for mode in ("onepass", "split", "fused"):
         monkeypatch.setenv("ENTREEPY_EXPAND", mode)
         assert _roundtrip_full(macbeth) == macbeth
+
+
+def test_onepass_packed_matches_unpacked(midsummer):
+    """Packed one-word rows must unpack to exactly the unpacked fused rows,
+    and the packed compaction must produce the same plane."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.format import compress_host, parse_header
+    from entreepy_tpu.format.fsm8 import build_byte_fsm
+    from entreepy_tpu.ops import decode8
+
+    data = midsummer[:30000]
+    et = compress_host(data)
+    hdr = parse_header(et)
+    fsm = build_byte_fsm(hdr.table)
+    buf = np.frombuffer(et, np.uint8)[hdr.body_start :]
+    chunk = 64
+    lanes = max(1, -(-buf.size // chunk))
+    padded = np.zeros(lanes * chunk, np.uint8)
+    padded[: buf.size] = buf
+    cols = decode8.bytes_to_cols(padded, lanes, chunk)
+    tbl = decode8._table_T_bf16(fsm)
+    t_fused, m, mt, s = decode8.build_fused(fsm)
+    assert m <= 3  # text corpus: packed mode applies
+
+    v_u, u1 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
+                                        m, mt, s)
+    v_p, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
+                                        m, mt, s, packed=True)
+    assert not bool(u1) and not bool(u2)
+    raw, syms = decode8.unpack_fused_rows(v_p, m)
+    assert np.array_equal(np.asarray(raw), np.asarray(v_u[:, 0, :]))
+    assert np.array_equal(
+        np.asarray(syms), np.asarray(v_u[:, 1:, :]).astype(np.uint8)
+    )
+
+    nv = jnp.int32(buf.size)
+    counts, inv, sy = decode8._expand_mask(
+        v_u[:, 0, :], v_u[:, 1:, :].astype(jnp.uint8), nv, m
+    )
+    cap = decode8.sym_cap(counts, m)
+    want = decode8.compact_symbols_device(counts, inv, sy, m, cap)
+    got = decode8.compact_symbols_packed(v_p, nv, m, cap)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+    out = decode8.assemble_symbol_plane(
+        *got, hdr.body_len, hdr.table, buf.size
+    )
+    assert bytes(out) == data
+
+
+def test_onepass_packed_env_knob(monkeypatch, macbeth):
+    """ENTREEPY_FUSED_PACKED=0 forces the unpacked fused rows; both
+    round-trip."""
+    for v in ("1", "0"):
+        monkeypatch.setenv("ENTREEPY_FUSED_PACKED", v)
+        assert _roundtrip_full(macbeth) == macbeth

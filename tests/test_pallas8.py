@@ -83,3 +83,12 @@ def test_fused_pallas_interpret_matches_scan(midsummer):
                                       interpret=True)
     assert bool(u1) == bool(u2) is False
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+    # packed one-word rows: Pallas interpret == scan twin, bit for bit
+    p1, pu1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
+                                jnp.int32(n_real), m, mt, s, packed=True)
+    p2, pu2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
+                                       jnp.int32(n_real), m, mt, s,
+                                       packed=True, interpret=True)
+    assert bool(pu1) == bool(pu2) is False
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))

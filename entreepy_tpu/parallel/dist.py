@@ -347,6 +347,148 @@ def _decode_fn(mesh: Mesh, axis: str):
     return f
 
 
+@lru_cache(maxsize=None)
+def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
+                     packed: bool):
+    """Sharded ONE-PASS decode (the onepass twin of :func:`_decode_fn`):
+    each full pass emits the per-byte symbol rows directly from the fused
+    kernel — no state sequence ever hits HBM or the host. Same fixed-point
+    entry chain (1 int per chunk all_gathered per pass). Returns (vals
+    int32[K, lanes] packed one-word rows — or [K, m+1, lanes] when not
+    ``packed`` — sharded on lanes, and per-shard unconverged bools)."""
+
+    @partial(jax.jit, static_argnames=("max_passes",))
+    def f(cols, table_T, t_fused, n_real_lanes, max_passes=MAX_SYNC_PASSES):
+        n_dev = mesh.devices.size
+        lanes, k = cols.shape
+        lanes_local = lanes // n_dev
+
+        if _use_pallas() and lanes_local % LANE_TILE == 0:
+            from ..ops.pallas_fsm8 import fused_pass_pallas8, sync_pass_pallas8
+
+            def full_pass(xs, tf, entries_local):
+                vals, exits = fused_pass_pallas8(
+                    xs, tf, entries_local, m, mt, s, packed=packed
+                )
+                return exits, vals
+
+            def suffix_pass(xs_suffix, zeros):
+                return sync_pass_pallas8(xs_suffix, table_T, zeros)
+        else:
+            from ..ops.decode8 import _fused_scan_pass, pack_fused_rows
+
+            def full_pass(xs, tf, entries_local):
+                raw, syms, exits = _fused_scan_pass(xs, tf, entries_local, m, mt, s)
+                if packed:
+                    vals = pack_fused_rows(raw, syms.astype(jnp.int32), m)
+                else:
+                    vals = jnp.concatenate(
+                        [raw[:, None, :], syms.astype(jnp.int32)], axis=1
+                    )
+                return exits, vals
+
+            def suffix_pass(xs_suffix, zeros):
+                exits, _ = _scan_pass(xs_suffix, table_T, zeros, False)
+                return exits
+
+        def local(cols_l, table_T_, t_fused_, n_real_lanes_):
+            xs = cols_l.T  # [K, lanes_local]
+            my = jax.lax.axis_index(axis) * lanes_local
+            real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes_[0]
+
+            w = min(SYNC_WINDOW, k)
+            sfx_local = suffix_pass(xs[k - w :], jnp.zeros(lanes_local, jnp.int32))
+            sfx = jax.lax.all_gather(sfx_local, axis, tiled=True)
+            entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), sfx[:-1]])
+
+            def cond(c):
+                entries, prev, _, it = c
+                return jnp.logical_and(
+                    it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
+                )
+
+            def body(c):
+                entries, _, _, it = c
+                mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
+                exits_local, vals = full_pass(xs, t_fused_, mine)
+                exits = jax.lax.all_gather(exits_local, axis, tiled=True)
+                new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+                return new_entries, entries, vals, it + 1
+
+            shape0 = (k, lanes_local) if packed else (k, m + 1, lanes_local)
+            vals0 = jnp.zeros(shape0, jnp.int32)
+            entries, prev, vals, _ = jax.lax.while_loop(
+                cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
+            )
+            unconverged = jnp.any(jnp.logical_and(entries != prev, real))
+            return vals, unconverged[None]
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(axis)),
+            out_specs=(
+                P(None, axis) if packed else P(None, None, axis),
+                P(axis),
+            ),
+            check_vma=False,
+        )(cols, table_T, t_fused, n_real_lanes)
+
+    return f
+
+
+def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
+                           n_real_lanes) -> bytes:
+    """Fully on-shard one-pass decode: fused sharded decode (no state
+    materialization) -> GSPMD-sharded compaction (per-lane ops keep the
+    lane sharding; no collectives) -> host assembles the compacted plane.
+    The pod-default route of :func:`decompress_sharded`."""
+    from ..ops.decode8 import (
+        CAP_SYM_ROUND, SUB_BYTES, _expand_mask, assemble_symbol_plane,
+        build_fused, compact_symbols_device, compact_symbols_packed,
+        packed_mini_totals, sym_cap,
+    )
+
+    n_dev = mesh.devices.size
+    t_fused, m, mt, s = build_fused(fsm)
+    packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
+    vals, unconverged = _decode_fused_fn(mesh, axis, m, mt, s, packed)(
+        cols, _table_T_bf16(fsm), t_fused,
+        jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
+    )
+    if bool(_fetch(unconverged).any()):
+        from ..format import build_decode_lut, unpack_body_host
+        from ..format.hostcodec import _check_stream_bits
+
+        lut = build_decode_lut(table)
+        out = unpack_body_host(buf.tobytes(), lut, n_symbols)
+        _check_stream_bits(out, table.lengths, buf.size)
+        return out.tobytes()
+    nv = jnp.int32(buf.size)
+    k = cols.shape[1]
+    if packed:
+        mini = packed_mini_totals(vals, nv, m)
+        sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+        cap_sym = min(
+            -(-max(int(jnp.max(mini)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
+            sb * m,
+        )
+        plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
+            vals, nv, m, cap_sym
+        )
+    else:
+        counts, inv, syms = _expand_mask(
+            vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m
+        )
+        cap_sym = sym_cap(counts, m)
+        plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
+            counts, inv, syms, m, cap_sym
+        )
+    return assemble_symbol_plane(
+        plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size
+    ).tobytes()
+
+
 def sharded_device_expand_default() -> bool:
     """Pod default for the sharded decode's expansion stage: fully on-shard
     on real TPU meshes (the host does no per-byte work), states-fetch +
@@ -395,6 +537,19 @@ def decompress_sharded(
     padded[: buf.size] = buf
     cols = bytes_to_cols(padded, lanes, chunk_bytes)
 
+    if device_expand is None:
+        device_expand = sharded_device_expand_default()
+    if (
+        device_expand
+        and jax.process_count() == 1
+        and os.environ.get("ENTREEPY_EXPAND", "onepass") == "onepass"
+    ):
+        # One-pass pod route: fused decode emits symbol rows directly —
+        # the per-byte state sequence never exists.
+        return _decode_expand_onepass(
+            mesh, axis, cols, buf, fsm, hdr.table, hdr.body_len, n_real_lanes
+        )
+
     states, unconverged = _decode_fn(mesh, axis)(
         cols, _table_T_bf16(fsm), jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32)
     )
@@ -410,8 +565,6 @@ def decompress_sharded(
         return out.tobytes()
     if jax.process_count() > 1:
         return _expand_multihost(states, buf, fsm, hdr.table, hdr.body_len, chunk_bytes)
-    if device_expand is None:
-        device_expand = sharded_device_expand_default()
     if device_expand:
         return _expand_on_shards(
             mesh, axis, cols, states, buf, fsm, hdr.table, hdr.body_len

@@ -92,6 +92,19 @@ def test_sharded_device_expand_matches_host(midsummer, mesh8):
     assert decompress_sharded(et2, mesh8, chunk_bytes=32, device_expand=True) == midsummer[:5000]
 
 
+def test_sharded_onepass_modes_match_host(monkeypatch, midsummer, mesh8):
+    """The sharded one-pass route (packed and unpacked) and the legacy
+    two-pass route all produce host-identical bytes."""
+    data = midsummer * 2
+    et = compress_host(data)
+    for packed in ("1", "0"):
+        monkeypatch.setenv("ENTREEPY_FUSED_PACKED", packed)
+        monkeypatch.setenv("ENTREEPY_EXPAND", "onepass")
+        assert decompress_sharded(et, mesh8, device_expand=True) == data
+    monkeypatch.setenv("ENTREEPY_EXPAND", "split")  # legacy two-pass
+    assert decompress_sharded(et, mesh8, device_expand=True) == data
+
+
 def test_sharded_device_expand_truncated_raises(macbeth, mesh8):
     et = compress_host(macbeth * 8)
     from entreepy_tpu.format import parse_header

@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Stage breakdown of the end-to-end device decode pipeline.
+"""Stage breakdown of the end-to-end device decode pipeline (one-pass).
 
-Times cumulative prefixes of the e2e program (fsm passes -> +expand ->
-+compaction -> +checksum) as burst-differenced marginals, so the delta
-between consecutive rows is that stage's cost on chip. Mirrors
-benchmarks/device.py's e2e composition exactly.
+Times cumulative prefixes of the e2e program (fused decode -> +compaction
+-> +checksum) as burst-differenced marginals, so the delta between
+consecutive rows is that stage's cost on chip. Mirrors
+benchmarks/device.py's e2e composition exactly (decode_body_device_full
+pod defaults: onepass + packed rows). ENTREEPY_EXPAND=split probes the
+legacy two-pass composition instead.
 
     timeout 1200 python -u benchmarks/probe_decode_stages.py
 """
@@ -32,10 +34,11 @@ def main() -> int:
     from entreepy_tpu.format import compress_host, parse_header
     from entreepy_tpu.format.fsm8 import build_byte_fsm
     from entreepy_tpu.ops.decode8 import (
-        _pad_lanes, _table_T_bf16, build_expand, bytes_to_cols,
-        compact_symbols_device, run_expand, sym_cap,
+        CAP_SYM_ROUND, SUB_BYTES, _pad_lanes, _table_T_bf16, build_expand,
+        build_fused, bytes_to_cols, compact_symbols_device,
+        compact_symbols_packed, packed_mini_totals, run_expand,
+        run_fused_decode, sym_cap,
     )
-    from entreepy_tpu.ops.pallas_fsm8 import fsm8_decode_pallas
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
     data = (src * (-(-5_200_000 // len(src))))[:5_200_000]
@@ -51,36 +54,10 @@ def main() -> int:
     padded[: buf.size] = buf
     cols = bytes_to_cols(padded, lanes, chunk)
     tbl = _table_T_bf16(fsm)
-    texp, m, mt = build_expand(fsm)
-
-    s0, _ = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
-    counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
-    cap_sym = sym_cap(counts0, m)
     n_sym = len(data)
+    mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
 
-    @jax.jit
-    def p_fsm(cols_, tbl_, texp_):
-        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        return jnp.sum(s.astype(jnp.int32)), u
-
-    @jax.jit
-    def p_expand(cols_, tbl_, texp_):
-        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        return jnp.sum(c) + jnp.sum(sy.astype(jnp.int32)), u
-
-    @jax.jit
-    def p_compact(cols_, tbl_, texp_):
-        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
-        return jnp.sum(plane.astype(jnp.int32)) + jnp.sum(lt), u
-
-    @jax.jit
-    def p_full(cols_, tbl_, texp_):
-        s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
-        c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
-        plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+    def checksum(plane, mt_, lt, cap_sym):
         gs = mt_.shape[0]
         pl3 = plane.reshape(gs, cap_sym, -1)
         lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
@@ -90,9 +67,83 @@ def main() -> int:
         live = ((j < mt_[:, None, :]) & (gpos < n_sym)).astype(jnp.int32)
         return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
 
+    if mode == "onepass":
+        t_fused, m, mt, s_pad = build_fused(fsm)
+        v0, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m, mt,
+                                 s_pad, packed=True)
+        mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
+        sb = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
+        cap_sym = min(
+            -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
+            sb * m,
+        )
+
+        @jax.jit
+        def p_fused(cols_, tbl_, tf_):
+            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
+                                       m, mt, s_pad, packed=True)
+            return jnp.sum(vals), u
+
+        @jax.jit
+        def p_compact(cols_, tbl_, tf_):
+            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
+                                       m, mt, s_pad, packed=True)
+            plane, mt_, lt, wi = compact_symbols_packed(
+                vals, jnp.int32(buf.size), m, cap_sym
+            )
+            return jnp.sum(plane.astype(jnp.int32)) + jnp.sum(lt), u
+
+        @jax.jit
+        def p_full(cols_, tbl_, tf_):
+            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
+                                       m, mt, s_pad, packed=True)
+            plane, mt_, lt, wi = compact_symbols_packed(
+                vals, jnp.int32(buf.size), m, cap_sym
+            )
+            return checksum(plane, mt_, lt, cap_sym)
+
+        stages = [("fused", p_fused), ("compact", p_compact), ("full", p_full)]
+        extra = t_fused
+    else:
+        from entreepy_tpu.ops.pallas_fsm8 import fsm8_decode_pallas
+
+        texp, m, mt = build_expand(fsm)
+        s0, _ = fsm8_decode_pallas(cols, tbl, jnp.int32(n_real))
+        counts0, _, _ = run_expand(cols, s0, texp, jnp.int32(buf.size), m, mt)
+        cap_sym = sym_cap(counts0, m)
+
+        @jax.jit
+        def p_fsm(cols_, tbl_, texp_):
+            s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
+            return jnp.sum(s.astype(jnp.int32)), u
+
+        @jax.jit
+        def p_expand(cols_, tbl_, texp_):
+            s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
+            c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
+            return jnp.sum(c) + jnp.sum(sy.astype(jnp.int32)), u
+
+        @jax.jit
+        def p_compact(cols_, tbl_, texp_):
+            s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
+            c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
+            plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+            return jnp.sum(plane.astype(jnp.int32)) + jnp.sum(lt), u
+
+        @jax.jit
+        def p_full(cols_, tbl_, texp_):
+            s, u = fsm8_decode_pallas(cols_, tbl_, jnp.int32(n_real))
+            c, iv, sy = run_expand(cols_, s, texp_, jnp.int32(buf.size), m, mt)
+            plane, mt_, lt, wi = compact_symbols_device(c, iv, sy, m, cap_sym)
+            return checksum(plane, mt_, lt, cap_sym)
+
+        stages = [("fsm", p_fsm), ("expand", p_expand),
+                  ("compact", p_compact), ("full", p_full)]
+        extra = texp
+
     def bench(fn):
         def burst(n):
-            outs = [fn(cols, tbl, texp) for _ in range(n)]
+            outs = [fn(cols, tbl, extra) for _ in range(n)]
             return sum(int(a) + int(b) for a, b in outs[-1:])
 
         burst(1)  # compile + warm
@@ -109,10 +160,12 @@ def main() -> int:
     only = set(
         s for s in os.environ.get("ENTREEPY_PROBE_STAGES", "").split(",") if s
     )
-    out = {"sub_bytes": int(os.environ.get("ENTREEPY_SUB_BYTES", "64"))}
+    out = {
+        "mode": mode,
+        "sub_bytes": int(os.environ.get("ENTREEPY_SUB_BYTES", "32")),
+    }
     prev = 0.0
-    for name, fn in [("fsm", p_fsm), ("expand", p_expand),
-                     ("compact", p_compact), ("full", p_full)]:
+    for name, fn in stages:
         if only and name not in only:
             continue
         t = bench(fn)

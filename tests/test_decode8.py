@@ -560,3 +560,38 @@ def test_onepass_packed_env_knob(monkeypatch, macbeth):
     for v in ("1", "0"):
         monkeypatch.setenv("ENTREEPY_FUSED_PACKED", v)
         assert _roundtrip_full(macbeth) == macbeth
+
+
+def test_onepass_corrupt_body_matches_host_behavior(midsummer):
+    """Flipped bytes through the ONE-PASS full pipeline: must detect
+    corruption at least whenever the serial host walk does, and return
+    identical bytes whenever the host accepts. Exercises the fused table's
+    invalid-flag semantics (an invalid transition at-or-before the
+    consumed prefix always rejects; post-invalid chain divergence is
+    unobservable in accepted outputs)."""
+    from entreepy_tpu.ops.decode8 import decode_body_device_full
+
+    data = midsummer[:60000]
+    et = bytearray(compress_host(data))
+    hdr = parse_header(bytes(et))
+    lut = build_decode_lut(hdr.table)
+    rng = np.random.default_rng(11)
+    detections = 0
+    for _ in range(10):
+        pos = int(rng.integers(hdr.body_start + 5, len(et) - 16))
+        corrupted = bytes(et[:pos]) + bytes([et[pos] ^ 0xFF]) + bytes(et[pos + 1 :])
+        body = corrupted[hdr.body_start :]
+        try:
+            ref = unpack_body_host(body, lut, hdr.body_len).tobytes()
+        except ValueError:
+            ref = None
+        try:
+            out = decode_body_device_full(body, hdr.table, hdr.body_len).tobytes()
+        except ValueError:
+            out = None
+            detections += 1
+        if ref is None:
+            assert out is None, "host detected corruption but onepass accepted it"
+        elif out is not None:
+            assert out == ref
+    assert detections >= 1

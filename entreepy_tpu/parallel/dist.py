@@ -438,11 +438,12 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
 
 
 def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
-                           n_real_lanes) -> bytes:
+                           n_real_lanes) -> bytes | None:
     """Fully on-shard one-pass decode: fused sharded decode (no state
     materialization) -> GSPMD-sharded compaction (per-lane ops keep the
     lane sharding; no collectives) -> host assembles the compacted plane.
-    The pod-default route of :func:`decompress_sharded`."""
+    The pod-default route of :func:`decompress_sharded`. Returns None on
+    Pallas-tile-incompatible shapes (caller falls back to two-pass)."""
     from ..ops.decode8 import (
         CAP_SYM_ROUND, SUB_BYTES, _expand_mask, assemble_symbol_plane,
         build_fused, compact_symbols_device, compact_symbols_packed,
@@ -452,10 +453,13 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
     n_dev = mesh.devices.size
     t_fused, m, mt, s = build_fused(fsm)
     packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
-    vals, unconverged = _decode_fused_fn(mesh, axis, m, mt, s, packed)(
-        cols, _table_T_bf16(fsm), t_fused,
-        jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
-    )
+    try:
+        vals, unconverged = _decode_fused_fn(mesh, axis, m, mt, s, packed)(
+            cols, _table_T_bf16(fsm), t_fused,
+            jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
+        )
+    except ValueError:  # tile-incompatible chunk size: two-pass fallback
+        return None
     if bool(_fetch(unconverged).any()):
         from ..format import build_decode_lut, unpack_body_host
         from ..format.hostcodec import _check_stream_bits
@@ -546,9 +550,11 @@ def decompress_sharded(
     ):
         # One-pass pod route: fused decode emits symbol rows directly —
         # the per-byte state sequence never exists.
-        return _decode_expand_onepass(
+        out = _decode_expand_onepass(
             mesh, axis, cols, buf, fsm, hdr.table, hdr.body_len, n_real_lanes
         )
+        if out is not None:
+            return out
 
     states, unconverged = _decode_fn(mesh, axis)(
         cols, _table_T_bf16(fsm), jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32)

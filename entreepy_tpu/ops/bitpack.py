@@ -315,8 +315,10 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     the last column) plus the tiny counts grid and concatenates live
     prefixes (:func:`assemble_plane_payload` — the decode-side plane
     trick). Skips :func:`compact_payload_flat`'s global stage-2 sort
-    entirely; the fetch is ~cap_g/avg_subgroup_count of the compressed
-    size (~1.1-1.4x) instead of exactly 1x.
+    entirely; the fetch is ~cap_g/avg_subgroup_fill of the compressed size
+    instead of exactly 1x (measured 1.71x at the 4096-byte-block/128-slot
+    defaults on 5.2 MB text — PLANE_SUB trades sort width against this
+    slack).
 
     ``cap_g`` must cover the fullest subgroup (size with
     :func:`grouped_counts_plane` + :func:`plane_cap_g`); if it does not,

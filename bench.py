@@ -36,6 +36,14 @@ BASELINE_DECODE_MBPS = 0.44  # README.md:53: 5.2 MB in 11.8 s
 TARGET_BYTES = 5_200_000
 
 
+def _mxu_peak() -> float:
+    """v5e MXU peak MAC/s at the Pallas kernels' table dtype (int8 runs
+    2x the bf16 rate)."""
+    from entreepy_tpu.ops.pallas_fsm8 import TBL_INT8
+
+    return 197e12 if TBL_INT8 else 98.5e12
+
+
 def build_corpus() -> bytes:
     src = (Path(__file__).parent / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
     reps = -(-TARGET_BYTES // len(src))
@@ -129,7 +137,8 @@ def _device_probe_stages(et: bytes):
     environment's tunnel dominated by ~60 ms dispatch+readback latency);
     pass_ms — marginal time of one emit pass, measured by chaining 11 vs 1
     dependent passes inside a single jit (the pod-representative compute
-    number); mfu_pct — pass MACs vs the v5e MXU bf16 peak (98.5 TMAC/s).
+    number); mfu_pct — pass MACs vs the v5e MXU peak at the kernel table
+    dtype (98.5 TMAC/s bf16, 197 int8 — pallas_fsm8.TBL_INT8 default).
     Stage "pack": the encode kernel's marginal pass via the same chaining
     trick. Raises on any failure (the caller reports it loudly).
     """
@@ -188,7 +197,7 @@ def _device_probe_stages(et: bytes):
     macs = buf.size * fsm.width * 256
     yield {
         "pass_ms": round(pass_s * 1e3, 3),
-        "mfu_pct": round(macs / pass_s / 98.5e12 * 100, 1),
+        "mfu_pct": round(macs / pass_s / _mxu_peak() * 100, 1),
         "decode_pass_MBps": round(buf.size / pass_s / 1e6, 0),
     }
 

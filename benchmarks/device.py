@@ -31,6 +31,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np  # noqa: E402
 
 V5E_PEAK_MACS = 98.5e12  # 197 TFLOP/s bf16
+V5E_PEAK_MACS_I8 = 197e12  # int8 runs the MXU at 2x the bf16 rate
 
 
 def best_of(fn, iters=4):
@@ -236,7 +237,11 @@ def main() -> int:
     macs = buf.size * fsm.width * 256
     results["decode_pallas_pass_ms"] = round(dec_pass * 1e3, 2)
     results["decode_pallas_pass_MBps"] = round(mb / dec_pass / 1e3 * 1e3, 1)
-    results["decode_mfu_pct"] = round(macs / dec_pass / V5E_PEAK_MACS * 100, 2)
+    from entreepy_tpu.ops.pallas_fsm8 import TBL_INT8
+
+    dec_peak = V5E_PEAK_MACS_I8 if TBL_INT8 else V5E_PEAK_MACS
+    results["decode_table_dtype"] = "int8" if TBL_INT8 else "bf16"
+    results["decode_mfu_pct"] = round(macs / dec_pass / dec_peak * 100, 2)
     results["decode_hbm_GBps"] = round(buf.size * 5 / dec_pass / 1e9, 1)  # in i32 + out u8
 
     # bit-equality of the two decode forms, and against the source

@@ -360,6 +360,10 @@ def fused_decode_tensors(fsm: ByteFsm) -> tuple[np.ndarray, int, int, int]:
     invalid state divergence from the emit-pass chain is unobservable in
     accepted outputs (see tests/test_decode8.py fused-vs-serial cases).
 
+    Reference counterpart: the whole decode hot loop ``decode.zig:143-203``
+    (shift-register + hash probes, one symbol at a time) — here one MXU
+    contraction advances a full byte AND emits its symbols.
+
     Returns (table, m, mt, s).
     """
     m = max(1, int(fsm.counts.max(initial=1)))

@@ -324,6 +324,9 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     :func:`grouped_counts_plane` + :func:`plane_cap_g`); if it does not,
     ``bit_lens`` are poisoned to -1 (stitch_flat_payload raises).
 
+    Reference counterpart: the serial bit-writer tail ``encode.zig:301-319``
+    (the reference never compacts — it writes bits serially in place).
+
     Returns (plane uint32[lanes, G*cap_g + 1], counts_g int32[lanes, G],
     bit_lens int32[lanes]).
     """

@@ -264,8 +264,8 @@ def main() -> int:
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
-    v0, _u0 = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m, mt,
-                               s_pad, packed=True)
+    v0, _x0, _u0 = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
+                                    m, mt, s_pad, packed=True)
     mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
     sb_ = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
     cap_sym = min(
@@ -278,8 +278,8 @@ def main() -> int:
 
     @jax.jit
     def e2e(cols_, tbl_, tf_):
-        vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real), m,
-                                   mt, s_pad, packed=True)
+        vals, _x, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
+                                       m, mt, s_pad, packed=True)
         plane, mt_, lt, wi = compact_symbols_packed(
             vals, jnp.int32(buf.size), m, cap_sym
         )

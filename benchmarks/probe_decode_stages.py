@@ -69,8 +69,8 @@ def main() -> int:
 
     if mode == "onepass":
         t_fused, m, mt, s_pad = build_fused(fsm)
-        v0, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m, mt,
-                                 s_pad, packed=True)
+        v0, _x, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
+                                     m, mt, s_pad, packed=True)
         mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
         sb = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
         cap_sym = min(
@@ -80,14 +80,16 @@ def main() -> int:
 
         @jax.jit
         def p_fused(cols_, tbl_, tf_):
-            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
-                                       m, mt, s_pad, packed=True)
+            vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
+                                           jnp.int32(n_real), m, mt, s_pad,
+                                           packed=True)
             return jnp.sum(vals), u
 
         @jax.jit
         def p_compact(cols_, tbl_, tf_):
-            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
-                                       m, mt, s_pad, packed=True)
+            vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
+                                           jnp.int32(n_real), m, mt, s_pad,
+                                           packed=True)
             plane, mt_, lt, wi = compact_symbols_packed(
                 vals, jnp.int32(buf.size), m, cap_sym
             )
@@ -95,8 +97,9 @@ def main() -> int:
 
         @jax.jit
         def p_full(cols_, tbl_, tf_):
-            vals, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
-                                       m, mt, s_pad, packed=True)
+            vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
+                                           jnp.int32(n_real), m, mt, s_pad,
+                                           packed=True)
             plane, mt_, lt, wi = compact_symbols_packed(
                 vals, jnp.int32(buf.size), m, cap_sym
             )

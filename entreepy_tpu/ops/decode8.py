@@ -396,27 +396,32 @@ def unpack_fused_rows(words, m: int):
 @partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "max_passes"))
 def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
                       s: int, packed: bool = False,
-                      max_passes: int = MAX_SYNC_PASSES):
+                      max_passes: int = MAX_SYNC_PASSES, entry0=None):
     """Scan-based one-pass decode (CPU meshes / fallback): cols int32
     [lanes, K] -> (vals int32[K, m+1, lanes] packed rows — or [K, lanes]
-    one-word rows when ``packed`` — and unconverged). Same structure as
-    pallas_fsm8.fsm8_decode_fused_pallas."""
+    one-word rows when ``packed`` — exits int32[lanes], unconverged). Same
+    structure as pallas_fsm8.fsm8_decode_fused_pallas. ``entry0`` pins the
+    first lane's entry state (default 0 = stream start; body tiles chain
+    the previous tile's last exit here)."""
     lanes, k = cols.shape
     xs = cols.T
     real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
+    e0 = jnp.zeros(1, jnp.int32) if entry0 is None else jnp.reshape(
+        entry0, (1,)
+    ).astype(jnp.int32)
 
     w = min(SYNC_WINDOW, k)
     suffix_exits, _ = _scan_pass(xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), False)
-    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+    entries0 = jnp.concatenate([e0, suffix_exits[:-1]])
 
     def cond(c):
-        entries, prev, _, it = c
+        entries, prev, _, _, it = c
         return jnp.logical_and(
             it < max_passes, jnp.any(jnp.logical_and(entries != prev, real))
         )
 
     def body(c):
-        entries, _, _, it = c
+        entries, _, _, _, it = c
         raw, syms, exits = _fused_scan_pass(xs, t_fused, entries, m, mt, s)
         if packed:
             vals = pack_fused_rows(raw, syms.astype(jnp.int32), m)
@@ -424,15 +429,16 @@ def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
             vals = jnp.concatenate(
                 [raw[:, None, :], syms.astype(jnp.int32)], axis=1
             )
-        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-        return new_entries, entries, vals, it + 1
+        new_entries = jnp.concatenate([e0, exits[:-1]])
+        return new_entries, entries, vals, exits, it + 1
 
     vals0 = jnp.zeros((k, lanes) if packed else (k, m + 1, lanes), jnp.int32)
-    entries, prev, vals, _ = jax.lax.while_loop(
-        cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
+    exits0 = jnp.zeros(lanes, jnp.int32)
+    entries, prev, vals, exits, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, vals0, exits0, jnp.int32(0))
     )
     unconverged = jnp.any(jnp.logical_and(entries != prev, real))
-    return vals, unconverged
+    return vals, exits, unconverged
 
 
 def build_fused(fsm: ByteFsm):
@@ -445,18 +451,20 @@ def build_fused(fsm: ByteFsm):
 
 
 def run_fused_decode(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
-                     s: int, packed: bool = False):
+                     s: int, packed: bool = False, entry0=None):
     """Dispatch the one-pass decode to the Pallas kernel on real TPUs, the
     XLA scan elsewhere. Returns (vals int32[K, m+1, lanes] — [K, lanes]
-    when ``packed`` — and unconverged). Raises ValueError on Pallas-tile-
-    incompatible shapes (callers fall back to the two-pass path)."""
+    when ``packed`` — exits int32[lanes], unconverged). Raises ValueError
+    on Pallas-tile-incompatible shapes (callers fall back to the two-pass
+    path)."""
     if _use_pallas():
         from .pallas_fsm8 import fsm8_decode_fused_pallas
 
         return fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes,
-                                        m, mt, s, packed=packed)
+                                        m, mt, s, packed=packed,
+                                        entry0=entry0)
     return fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m, mt, s,
-                             packed=packed)
+                             packed=packed, entry0=entry0)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -637,6 +645,19 @@ def sym_cap(counts, m: int):
     return min(-(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m)
 
 
+def extract_plane_symbols(plane, mini_tot) -> np.ndarray:
+    """Compacted symbol plane -> flat uint8 symbols in (lane, subgroup,
+    slot) stream order. Boolean extraction flattens row-major — exactly
+    stream order, all in C (no per-lane python loop)."""
+    mt = np.asarray(mini_tot, dtype=np.int64)  # [Gs, lanes]
+    gs, lanes = mt.shape
+    plane_np = np.asarray(plane).reshape(gs, -1, lanes)  # [Gs, cap_g, lanes]
+    cap_g = plane_np.shape[1]
+    arr = plane_np.transpose(2, 0, 1)  # [lanes, Gs, cap_g]
+    mask = np.arange(cap_g, dtype=np.int64)[None, None, :] < mt.T[:, :, None]
+    return arr[mask]
+
+
 def assemble_symbol_plane(
     plane, mini_tot, lane_tot, w_inv, n_symbols, table, n_body
 ) -> np.ndarray:
@@ -651,15 +672,7 @@ def assemble_symbol_plane(
     w_inv_np = np.asarray(w_inv, dtype=np.int64)
     w_inv_np[w_inv_np >= (1 << 30)] = -1
     validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-    mt = np.asarray(mini_tot, dtype=np.int64)  # [Gs, lanes]
-    gs, lanes = mt.shape
-    plane_np = np.asarray(plane).reshape(gs, -1, lanes)  # [Gs, cap_g, lanes]
-    cap_g = plane_np.shape[1]
-    # boolean extraction flattens row-major = (lane, subgroup, slot): exactly
-    # stream order, all in C (no per-lane python loop)
-    arr = plane_np.transpose(2, 0, 1)  # [lanes, Gs, cap_g]
-    mask = np.arange(cap_g, dtype=np.int64)[None, None, :] < mt.T[:, :, None]
-    out = arr[mask][:n_symbols]
+    out = extract_plane_symbols(plane, mini_tot)[:n_symbols]
     if out.size < n_symbols:
         raise ValueError(
             f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
@@ -713,7 +726,7 @@ def decode_body_device_full(
         try:
             with phase("device_fsm8_decode", n_symbols):
                 cols = bytes_to_cols(padded, lanes, chunk_bytes)
-                vals, unconverged = run_fused_decode(
+                vals, _exits, unconverged = run_fused_decode(
                     cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real_lanes),
                     m, mt, s, packed=packed,
                 )
@@ -777,6 +790,126 @@ def decode_body_device_full(
         out = assemble_symbol_plane(
             plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size
         )
+    return out
+
+
+# Streaming tile width for decode_body_device_tiled (lanes per tile).
+# 65536 lanes x 512 B chunks = 32 MB of compressed body per tile: the HBM
+# working set stays ~10 B/compressed-byte x 32 MB regardless of body size.
+TILE_LANES = int(os.environ.get("ENTREEPY_TILE_LANES", "65536"))
+
+
+def decode_body_device_tiled(
+    body: bytes | np.ndarray,
+    table: CodeTable,
+    n_symbols: int,
+    *,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    tile_lanes: int | None = None,
+    fsm: ByteFsm | None = None,
+) -> np.ndarray:
+    """Streaming variant of :func:`decode_body_device_full` for big bodies:
+    chunk lanes process in TILES of ``tile_lanes`` (~tile_lanes*chunk_bytes
+    compressed bytes of HBM working set per tile, ~10 B/byte). Tiles run in
+    stream order, so each tile's first-lane entry state is EXACTLY the
+    previous tile's last-lane exit — no global fixed point; self-sync runs
+    only within each tile. Per tile: one-pass fused decode -> device
+    compaction -> the host fetches the tile's compacted plane and frees the
+    tile's HBM. Accept/reject and the exact-bit invariant run on the
+    concatenated per-tile metadata, identical to the untiled path.
+
+    Reference counterpart ``decode.zig:143-203`` (which streams the whole
+    body serially at ~0.44 MB/s)."""
+    if n_symbols == 0:
+        return np.zeros(0, dtype=np.uint8)
+    from ..format.hostcodec import _check_stream_bits
+    from ..utils.trace import phase
+
+    fsm = fsm or build_byte_fsm(table)
+    buf = (
+        np.frombuffer(body, dtype=np.uint8)
+        if isinstance(body, (bytes, bytearray, memoryview))
+        else np.asarray(body, dtype=np.uint8)
+    )
+    unit = LANE_TILE if _use_pallas() else 1
+    t_lanes = tile_lanes or TILE_LANES
+    t_lanes = max(unit, t_lanes // unit * unit)
+    n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    lanes = max(unit, -(-n_real_lanes // unit) * unit)
+
+    t_fused, m, mt, s = build_fused(fsm)
+    packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
+    tbl = _table_T_bf16(fsm)
+    nv = jnp.int32(buf.size)
+
+    planes, minis, lane_tots, w_invs = [], [], [], []
+    entry0 = None  # tile 0 starts at the root
+    l0 = 0
+    while l0 < lanes:
+        tl = min(t_lanes, lanes - l0)
+        real_t = min(max(n_real_lanes - l0, 0), tl)
+        pad_t = np.zeros(tl * chunk_bytes, np.uint8)
+        seg = buf[l0 * chunk_bytes : (l0 + tl) * chunk_bytes]
+        pad_t[: seg.size] = seg
+        with phase("device_fsm8_decode", n_symbols):
+            cols_t = bytes_to_cols(pad_t, tl, chunk_bytes)
+            vals, exits, unconverged = run_fused_decode(
+                cols_t, tbl, t_fused, jnp.int32(real_t), m, mt, s,
+                packed=packed, entry0=entry0,
+            )
+        if bool(unconverged):
+            from .. import format as _fmt
+
+            lut = _fmt.build_decode_lut(table)
+            out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+            _check_stream_bits(out, table.lengths, buf.size)
+            return out
+        with phase("device_expand", n_symbols):
+            pos0 = l0 * chunk_bytes
+            if packed:
+                # sizing fetch: the tile's local positions are global minus
+                # pos0, so the real-byte bound is simply n_valid - pos0
+                mini = packed_mini_totals(
+                    vals, jnp.maximum(nv - pos0, 0), m
+                )
+                sb = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
+                cap_sym = min(
+                    -(-max(int(jnp.max(mini)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
+                    sb * m,
+                )
+                plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
+                    vals, nv, m, cap_sym, pos0=pos0
+                )
+            else:
+                counts, inv, syms = _expand_mask(
+                    vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m,
+                    pos0=pos0,
+                )
+                cap_sym = sym_cap(counts, m)
+                plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
+                    counts, inv, syms, m, cap_sym
+                )
+        with phase("device_sym_fetch", n_symbols):
+            planes.append(np.asarray(plane))
+            minis.append(np.asarray(mini_tot, dtype=np.int64))
+            lane_tots.append(np.asarray(lane_tot, dtype=np.int64))
+            w_invs.append(np.asarray(w_inv, dtype=np.int64))
+        if l0 + tl < lanes:
+            entry0 = exits[real_t - 1] if real_t > 0 else exits[tl - 1]
+        l0 += tl
+
+    counts_np = np.concatenate(lane_tots)
+    w_inv_np = np.concatenate(w_invs)
+    w_inv_np[w_inv_np >= (1 << 30)] = -1
+    validate_chunk_meta(counts_np, w_inv_np, n_symbols)
+    out = np.concatenate(
+        [extract_plane_symbols(p, mt_) for p, mt_ in zip(planes, minis)]
+    )[:n_symbols]
+    if out.size < n_symbols:
+        raise ValueError(
+            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
+        )
+    _check_stream_bits(out, table.lengths, buf.size)
     return out
 
 

@@ -536,45 +536,51 @@ def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
 def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
                              mt: int, s: int, packed: bool = False,
                              max_passes: int | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False, entry0=None):
     """One-pass Pallas decode: cols int32[lanes, K] -> (vals int32
     [K, m+1, lanes] packed symbol rows — or [K, lanes] one-word rows when
-    ``packed`` — and unconverged bool). The suffix sync uses the narrow
-    [256, S] sync table; the fixed-point loop runs whole fused passes
-    (typically exactly one — the suffix guess is near-exact)."""
+    ``packed`` — exits int32[lanes], unconverged bool). The suffix sync
+    uses the narrow [256, S] sync table; the fixed-point loop runs whole
+    fused passes (typically exactly one — the suffix guess is near-exact).
+    ``entry0`` pins the first lane's entry state (default 0 = stream
+    start; body tiles chain the previous tile's last exit here)."""
     from .decode8 import MAX_SYNC_PASSES, SYNC_WINDOW
 
     lanes, k = cols.shape
     xs = cols.T  # [K, lanes]
     real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
     mp = max_passes or MAX_SYNC_PASSES
+    e0 = jnp.zeros(1, jnp.int32) if entry0 is None else jnp.reshape(
+        entry0, (1,)
+    ).astype(jnp.int32)
 
     w = min(SYNC_WINDOW, k)
     suffix_exits = sync_pass_pallas8(
         xs[k - w :], table_T, jnp.zeros(lanes, jnp.int32), interpret=interpret
     )
-    entries0 = jnp.concatenate([jnp.zeros(1, jnp.int32), suffix_exits[:-1]])
+    entries0 = jnp.concatenate([e0, suffix_exits[:-1]])
 
     def cond(c):
-        entries, prev, _, it = c
+        entries, prev, _, _, it = c
         return jnp.logical_and(
             it < mp, jnp.any(jnp.logical_and(entries != prev, real))
         )
 
     def body(c):
-        entries, _, _, it = c
+        entries, _, _, _, it = c
         vals, exits = fused_pass_pallas8(
             xs, t_fused, entries, m, mt, s, packed=packed, interpret=interpret
         )
-        new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
-        return new_entries, entries, vals, it + 1
+        new_entries = jnp.concatenate([e0, exits[:-1]])
+        return new_entries, entries, vals, exits, it + 1
 
     vals0 = jnp.zeros((k, lanes) if packed else (k, m + 1, lanes), jnp.int32)
-    entries, prev, vals, _ = jax.lax.while_loop(
-        cond, body, (entries0, entries0 - 1, vals0, jnp.int32(0))
+    exits0 = jnp.zeros(lanes, jnp.int32)
+    entries, prev, vals, exits, _ = jax.lax.while_loop(
+        cond, body, (entries0, entries0 - 1, vals0, exits0, jnp.int32(0))
     )
     unconverged = jnp.any(jnp.logical_and(entries != prev, real))
-    return vals, unconverged
+    return vals, exits, unconverged
 
 
 def unpack_states_packed(packed, k: int):

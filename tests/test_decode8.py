@@ -451,8 +451,8 @@ def test_onepass_matches_twopass(data):
 
     t_fused, m2, mt2, s = decode8.build_fused(fsm)
     assert (m2, mt2) == (m, mt)
-    vals, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
-                                         m, mt, s)
+    vals, _, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused,
+                                            jnp.int32(lanes), m, mt, s)
     assert not bool(u2)
     got = decode8._expand_mask(
         vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m
@@ -528,10 +528,11 @@ def test_onepass_packed_matches_unpacked(midsummer):
     t_fused, m, mt, s = decode8.build_fused(fsm)
     assert m <= 3  # text corpus: packed mode applies
 
-    v_u, u1 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
-                                        m, mt, s)
-    v_p, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused, jnp.int32(lanes),
-                                        m, mt, s, packed=True)
+    v_u, _, u1 = decode8.fsm8_decode_fused(cols, tbl, t_fused,
+                                           jnp.int32(lanes), m, mt, s)
+    v_p, _, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused,
+                                           jnp.int32(lanes), m, mt, s,
+                                           packed=True)
     assert not bool(u1) and not bool(u2)
     raw, syms = decode8.unpack_fused_rows(v_p, m)
     assert np.array_equal(np.asarray(raw), np.asarray(v_u[:, 0, :]))
@@ -560,6 +561,47 @@ def test_onepass_packed_env_knob(monkeypatch, macbeth):
     for v in ("1", "0"):
         monkeypatch.setenv("ENTREEPY_FUSED_PACKED", v)
         assert _roundtrip_full(macbeth) == macbeth
+
+
+def test_tiled_decode_matches_untiled(midsummer):
+    """decode_body_device_tiled must equal the untiled full pipeline for
+    any tile width (incl. tiles that split mid-stream), both row modes."""
+    import os
+
+    from entreepy_tpu.ops.decode8 import (
+        decode_body_device_full, decode_body_device_tiled,
+    )
+
+    et = compress_host(midsummer)
+    hdr = parse_header(et)
+    body = et[hdr.body_start :]
+    ref = decode_body_device_full(body, hdr.table, hdr.body_len, chunk_bytes=64)
+    for tl in (8, 64, 100000):
+        out = decode_body_device_tiled(
+            body, hdr.table, hdr.body_len, chunk_bytes=64, tile_lanes=tl
+        )
+        assert np.array_equal(out, ref), tl
+    os.environ["ENTREEPY_FUSED_PACKED"] = "0"
+    try:
+        out = decode_body_device_tiled(
+            body, hdr.table, hdr.body_len, chunk_bytes=64, tile_lanes=64
+        )
+        assert np.array_equal(out, ref)
+    finally:
+        del os.environ["ENTREEPY_FUSED_PACKED"]
+
+
+def test_tiled_decode_truncated_raises(midsummer):
+    from entreepy_tpu.ops.decode8 import decode_body_device_tiled
+
+    et = compress_host(midsummer)
+    hdr = parse_header(et)
+    body = et[hdr.body_start :]
+    with pytest.raises(ValueError, match="ended early|corrupt|invalid"):
+        decode_body_device_tiled(
+            body[: len(body) // 2], hdr.table, hdr.body_len,
+            chunk_bytes=64, tile_lanes=64,
+        )
 
 
 def test_onepass_corrupt_body_matches_host_behavior(midsummer):

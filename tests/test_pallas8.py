@@ -76,19 +76,20 @@ def test_fused_pallas_interpret_matches_scan(midsummer):
         np.asarray(syms), np.asarray(vals[:, 1:, :]).astype(np.uint8)
     )
 
-    v1, u1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
-                               jnp.int32(n_real), m, mt, s)
-    v2, u2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
-                                      jnp.int32(n_real), m, mt, s,
-                                      interpret=True)
+    v1, x1, u1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
+                                   jnp.int32(n_real), m, mt, s)
+    v2, x2, u2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
+                                          jnp.int32(n_real), m, mt, s,
+                                          interpret=True)
     assert bool(u1) == bool(u2) is False
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.array_equal(np.asarray(x1), np.asarray(x2))
 
     # packed one-word rows: Pallas interpret == scan twin, bit for bit
-    p1, pu1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
-                                jnp.int32(n_real), m, mt, s, packed=True)
-    p2, pu2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
-                                       jnp.int32(n_real), m, mt, s,
-                                       packed=True, interpret=True)
+    p1, _, pu1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
+                                   jnp.int32(n_real), m, mt, s, packed=True)
+    p2, _, pu2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
+                                          jnp.int32(n_real), m, mt, s,
+                                          packed=True, interpret=True)
     assert bool(pu1) == bool(pu2) is False
     assert np.array_equal(np.asarray(p1), np.asarray(p2))

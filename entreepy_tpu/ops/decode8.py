@@ -707,6 +707,12 @@ def decode_body_device_full(
         else np.asarray(body, dtype=np.uint8)
     )
     n_real_lanes = max(1, -(-buf.size // chunk_bytes))
+    if TILE_LANES > 0 and n_real_lanes > TILE_LANES:
+        # Bodies past one tile stream through the bounded-HBM tiled path
+        # (ENTREEPY_TILE_LANES=0 disables).
+        return decode_body_device_tiled(
+            buf, table, n_symbols, chunk_bytes=chunk_bytes, fsm=fsm
+        )
     lanes = _pad_lanes(n_real_lanes) if _use_pallas() else n_real_lanes
     padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf

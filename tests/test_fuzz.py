@@ -50,6 +50,34 @@ def test_fuzz_backends_agree(kind):
         assert et.decompress(ref, backend="sharded") == data
 
 
+@pytest.mark.parametrize("kind", ["uniform", "zipf", "runs", "binary"])
+def test_fuzz_onepass_and_tiled_agree(kind):
+    """The one-pass full pipeline and the tiled streaming variant must
+    round-trip diverse random corpora at random chunk/tile widths (binary
+    streams hit m=8 — the unpacked fused rows)."""
+    from entreepy_tpu.ops.decode8 import (
+        decode_body_device_full, decode_body_device_tiled,
+    )
+
+    rng = np.random.default_rng((hash(kind) + 4) % (2**32))
+    for trial in range(3):
+        n = int(rng.integers(100, 50_000))
+        data = _corpus(rng, kind, n)
+        if len(set(data)) < 2:
+            continue
+        et_ = compress_host(data)
+        hdr = parse_header(et_)
+        body = et_[hdr.body_start :]
+        cb = int(rng.choice([16, 64, 512]))
+        out = decode_body_device_full(body, hdr.table, hdr.body_len, chunk_bytes=cb)
+        assert bytes(out) == data
+        tl = int(rng.choice([8, 256]))
+        out2 = decode_body_device_tiled(
+            body, hdr.table, hdr.body_len, chunk_bytes=cb, tile_lanes=tl
+        )
+        assert bytes(out2) == data
+
+
 @pytest.mark.parametrize("kind", ["uniform", "zipf"])
 def test_fuzz_corruption_consistency(kind):
     """For random single-byte corruptions, device and sharded detection must

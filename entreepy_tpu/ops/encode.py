@@ -36,6 +36,10 @@ from .bitpack import (
 )
 
 DEFAULT_BLOCK_BYTES = 4096  # scan length; lanes = input_size / block_bytes
+# Streaming tile width for the device encode (blocks per tile): 8192 blocks
+# x 4096 B = 32 MB of input per tile — blocks are independent, so tiling is
+# exact and the HBM working set is bounded at any input size.
+TILE_BLOCKS = int(os.environ.get("ENTREEPY_TILE_BLOCKS", "8192"))
 
 
 def _bucket(n: int) -> int:
@@ -44,9 +48,17 @@ def _bucket(n: int) -> int:
 
 
 def histogram_on_device(arr: np.ndarray) -> np.ndarray:
-    """Histogram of a host byte array via the device compare-reduce kernel."""
+    """Histogram of a host byte array via the device compare-reduce kernel.
+    Arrays past one encode tile stream through tile-sized histograms summed
+    host-side (exact — bounded HBM at any input size)."""
     import jax.numpy as jnp
 
+    tile = TILE_BLOCKS * DEFAULT_BLOCK_BYTES if TILE_BLOCKS > 0 else arr.size
+    if arr.size > tile > 0:
+        total = np.zeros(256, dtype=np.int64)
+        for off in range(0, arr.size, tile):
+            total += histogram_on_device(arr[off : off + tile])
+        return total
     n = _bucket(max(arr.size, HIST_COLS))
     padded = np.zeros(n, dtype=np.uint8)
     padded[: arr.size] = arr
@@ -64,8 +76,25 @@ def encode_blocks_device(
     nwords int64[n_blocks] — words per block incl. the final partial one,
     bit_lens int64[n_blocks]). Stitching is left to the caller so
     multi-device paths can reuse this per shard.
+
+    Inputs past TILE_BLOCKS blocks stream in tiles (blocks are independent,
+    so tiling is exact and byte-identical): the HBM working set stays
+    ~TILE_BLOCKS*block_bytes regardless of input size; the per-tile
+    compacted payloads concatenate host-side.
     """
     import jax.numpy as jnp
+
+    if TILE_BLOCKS > 0 and arr.size > TILE_BLOCKS * block_bytes:
+        tile = TILE_BLOCKS * block_bytes
+        flats, nws, bls = [], [], []
+        for off in range(0, arr.size, tile):
+            f, nw, bl = encode_blocks_device(
+                arr[off : off + tile], table, block_bytes
+            )
+            flats.append(f)
+            nws.append(nw)
+            bls.append(bl)
+        return np.concatenate(flats), np.concatenate(nws), np.concatenate(bls)
 
     blocks_np, valid_np = split_blocks(arr, block_bytes)
     # Bucket the block count to a power of two (extra blocks are empty:

@@ -184,3 +184,26 @@ def test_stitch_flat_matches_stitch_words():
     assert got_total == ref_total
     n = ref_total // 32 + 1
     assert np.array_equal(got_words[:n], ref_words[:n])
+
+
+def test_tiled_encode_byte_identical(monkeypatch, midsummer):
+    """Streaming the device encode in tiny tiles must produce byte-identical
+    output (blocks are independent; tiling is exact), and the tiled
+    histogram must be exact."""
+    import importlib
+
+    import entreepy_tpu.ops.encode as enc
+    from entreepy_tpu.format import compress_host
+
+    monkeypatch.setenv("ENTREEPY_TILE_BLOCKS", "4")
+    enc2 = importlib.reload(enc)
+    try:
+        data = midsummer[:50000]
+        assert enc2.compress_device(data, block_bytes=256) == compress_host(data)
+        arr = np.frombuffer(data, np.uint8)
+        assert np.array_equal(
+            enc2.histogram_on_device(arr), np.bincount(arr, minlength=256)
+        )
+    finally:
+        monkeypatch.delenv("ENTREEPY_TILE_BLOCKS")
+        importlib.reload(enc)

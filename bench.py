@@ -246,19 +246,15 @@ def _device_probe_stages(et: bytes):
     # compressed->bytes, not just per-pass. Matches decode_body_device_full
     # pod defaults (onepass + packed).
     from entreepy_tpu.ops.decode8 import (
-        CAP_SYM_ROUND, SUB_BYTES, build_fused, compact_symbols_packed,
-        packed_mini_totals, run_fused_decode,
+        build_fused, compact_symbols_packed, packed_mini_totals,
+        packed_sym_cap, run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
     v0, _x, _u = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m,
                                   mt, s_pad, packed=True)
     mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-    sb_ = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
-    cap_sym = min(
-        -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
-        sb_ * m,
-    )  # per-subgroup cap (tiny sizing fetch)
+    cap_sym = packed_sym_cap(mini0, m, chunk_bytes)  # tiny sizing fetch
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
 
     @jax.jit

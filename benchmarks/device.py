@@ -259,19 +259,15 @@ def main() -> int:
     # dependent fetch — through the tunnel a 5 MB output fetch would swamp
     # compute; correctness is separately pinned by tests).
     from entreepy_tpu.ops.decode8 import (
-        CAP_SYM_ROUND, SUB_BYTES, build_fused, compact_symbols_packed,
-        packed_mini_totals, run_fused_decode,
+        build_fused, compact_symbols_packed, packed_mini_totals,
+        packed_sym_cap, run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
     v0, _x0, _u0 = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
                                     m, mt, s_pad, packed=True)
     mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-    sb_ = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
-    cap_sym = min(
-        -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
-        sb_ * m,
-    )  # per-subgroup cap (tiny sizing fetch)
+    cap_sym = packed_sym_cap(mini0, m, chunk)  # tiny sizing fetch
     N_SYM = len(data)  # checksum only real output positions (the final body
     # byte's zero-padding bits can emit one trailing extra symbol, trimmed
     # on the real decode path)

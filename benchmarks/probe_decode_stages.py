@@ -34,10 +34,9 @@ def main() -> int:
     from entreepy_tpu.format import compress_host, parse_header
     from entreepy_tpu.format.fsm8 import build_byte_fsm
     from entreepy_tpu.ops.decode8 import (
-        CAP_SYM_ROUND, SUB_BYTES, _pad_lanes, _table_T_bf16, build_expand,
-        build_fused, bytes_to_cols, compact_symbols_device,
-        compact_symbols_packed, packed_mini_totals, run_expand,
-        run_fused_decode, sym_cap,
+        _pad_lanes, _table_T_bf16, build_expand, build_fused, bytes_to_cols,
+        compact_symbols_device, compact_symbols_packed, packed_mini_totals,
+        packed_sym_cap, run_expand, run_fused_decode, sym_cap,
     )
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
@@ -72,11 +71,7 @@ def main() -> int:
         v0, _x, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
                                      m, mt, s_pad, packed=True)
         mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-        sb = SUB_BYTES if chunk % SUB_BYTES == 0 else chunk
-        cap_sym = min(
-            -(-max(int(jnp.max(mini0)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
-            sb * m,
-        )
+        cap_sym = packed_sym_cap(mini0, m, chunk)
 
         @jax.jit
         def p_fused(cols_, tbl_, tf_):

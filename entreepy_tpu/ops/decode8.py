@@ -645,6 +645,16 @@ def sym_cap(counts, m: int):
     return min(-(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m)
 
 
+def packed_sym_cap(mini, m: int, k: int) -> int:
+    """Static per-subgroup symbol cap from :func:`packed_mini_totals` output
+    (the packed-mode twin of :func:`sym_cap`, shared by every packed call
+    site so the cap rule lives in one place): fetches the mini-total max
+    (tiny) and rounds to CAP_SYM_ROUND columns (bounds jit recompiles)."""
+    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    mx = max(int(jnp.max(mini)), 1)
+    return min(-(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m)
+
+
 def extract_plane_symbols(plane, mini_tot) -> np.ndarray:
     """Compacted symbol plane -> flat uint8 symbols in (lane, subgroup,
     slot) stream order. Boolean extraction flattens row-major — exactly
@@ -658,27 +668,42 @@ def extract_plane_symbols(plane, mini_tot) -> np.ndarray:
     return arr[mask]
 
 
-def assemble_symbol_plane(
-    plane, mini_tot, lane_tot, w_inv, n_symbols, table, n_body
+def assemble_symbol_planes(
+    planes, minis, lane_tots, w_invs, n_symbols, table, n_body
 ) -> np.ndarray:
-    """Fetch + validate + concatenate a compacted symbol plane (the shared
-    tail of every on-device expansion path): applies the serial-exact
-    accept/reject (:func:`validate_chunk_meta`), slices each mini-lane's
-    live segment prefix in (lane, subgroup) stream order, trims to
-    ``n_symbols``, and enforces the exact-bit invariant."""
+    """Fetch + validate + concatenate compacted symbol planes (the shared
+    tail of every on-device expansion path; the streaming tiled decode
+    passes one list entry per tile, untiled paths a singleton): applies the
+    serial-exact accept/reject (:func:`validate_chunk_meta`) over the
+    concatenated per-lane metadata, slices each mini-lane's live segment
+    prefix in (lane, subgroup) stream order, trims to ``n_symbols``, and
+    enforces the exact-bit invariant."""
     from ..format.hostcodec import _check_stream_bits
 
-    counts_np = np.asarray(lane_tot, dtype=np.int64)
-    w_inv_np = np.asarray(w_inv, dtype=np.int64)
+    counts_np = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in lane_tots]
+    )
+    w_inv_np = np.concatenate([np.asarray(w, dtype=np.int64) for w in w_invs])
     w_inv_np[w_inv_np >= (1 << 30)] = -1
     validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-    out = extract_plane_symbols(plane, mini_tot)[:n_symbols]
+    out = np.concatenate(
+        [extract_plane_symbols(p, mt_) for p, mt_ in zip(planes, minis)]
+    )[:n_symbols]
     if out.size < n_symbols:
         raise ValueError(
             f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
         )
     _check_stream_bits(out, table.lengths, n_body)
     return out
+
+
+def assemble_symbol_plane(
+    plane, mini_tot, lane_tot, w_inv, n_symbols, table, n_body
+) -> np.ndarray:
+    """Singleton wrapper of :func:`assemble_symbol_planes`."""
+    return assemble_symbol_planes(
+        [plane], [mini_tot], [lane_tot], [w_inv], n_symbols, table, n_body
+    )
 
 
 def decode_body_device_full(
@@ -707,9 +732,15 @@ def decode_body_device_full(
         else np.asarray(body, dtype=np.uint8)
     )
     n_real_lanes = max(1, -(-buf.size // chunk_bytes))
-    if TILE_LANES > 0 and n_real_lanes > TILE_LANES:
+    mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
+    if TILE_LANES > 0 and n_real_lanes > TILE_LANES and _tileable_onepass(
+        mode, chunk_bytes
+    ):
         # Bodies past one tile stream through the bounded-HBM tiled path
-        # (ENTREEPY_TILE_LANES=0 disables).
+        # (ENTREEPY_TILE_LANES=0 disables; the tiled route exists only for
+        # the default one-pass pipeline on fused-tileable chunk sizes —
+        # legacy ENTREEPY_EXPAND modes and odd chunk sizes stay untiled,
+        # where the two-pass fallback chain handles them).
         return decode_body_device_tiled(
             buf, table, n_symbols, chunk_bytes=chunk_bytes, fsm=fsm
         )
@@ -717,7 +748,6 @@ def decode_body_device_full(
     padded = np.zeros(lanes * chunk_bytes, dtype=np.uint8)
     padded[: buf.size] = buf
 
-    mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
     unconverged = True
     counts = inv = syms = None
     compacted = None
@@ -741,11 +771,7 @@ def decode_body_device_full(
                     if packed:
                         nv = jnp.int32(buf.size)
                         mini = packed_mini_totals(vals, nv, m)
-                        mx = max(int(jnp.max(mini)), 1)
-                        sb = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
-                        cap_sym = min(
-                            -(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m
-                        )
+                        cap_sym = packed_sym_cap(mini, m, chunk_bytes)
                         compacted = compact_symbols_packed(
                             vals, nv, m, cap_sym
                         )
@@ -805,6 +831,20 @@ def decode_body_device_full(
 TILE_LANES = int(os.environ.get("ENTREEPY_TILE_LANES", "65536"))
 
 
+def _tileable_onepass(mode: str, chunk_bytes: int) -> bool:
+    """True when the streaming tiled decode can run: the tiled path
+    hardwires the one-pass fused pipeline, so it requires mode == onepass
+    and (under Pallas) a fused-tileable chunk size. Shared by the router
+    and the tiled function itself so a fallback can never recurse."""
+    if mode != "onepass":
+        return False
+    if not _use_pallas():
+        return True
+    from .pallas_fsm8 import LANE_TILE, fused_tileable
+
+    return fused_tileable(LANE_TILE, chunk_bytes)
+
+
 def decode_body_device_tiled(
     body: bytes | np.ndarray,
     table: CodeTable,
@@ -831,6 +871,16 @@ def decode_body_device_tiled(
     from ..format.hostcodec import _check_stream_bits
     from ..utils.trace import phase
 
+    mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
+    if not _tileable_onepass(mode, chunk_bytes):
+        # The fused kernel can't tile this shape (or a legacy expand mode is
+        # forced): the untiled path's two-pass fallback chain handles it.
+        # Same predicate as decode_body_device_full's router, so this cannot
+        # recurse; HBM is unbounded on this corner (non-default chunk sizes
+        # only).
+        return decode_body_device_full(
+            body, table, n_symbols, chunk_bytes=chunk_bytes, fsm=fsm
+        )
     fsm = fsm or build_byte_fsm(table)
     buf = (
         np.frombuffer(body, dtype=np.uint8)
@@ -846,7 +896,6 @@ def decode_body_device_tiled(
     t_fused, m, mt, s = build_fused(fsm)
     packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
     tbl = _table_T_bf16(fsm)
-    nv = jnp.int32(buf.size)
 
     planes, minis, lane_tots, w_invs = [], [], [], []
     entry0 = None  # tile 0 starts at the root
@@ -871,25 +920,23 @@ def decode_body_device_tiled(
             _check_stream_bits(out, table.lengths, buf.size)
             return out
         with phase("device_expand", n_symbols):
-            pos0 = l0 * chunk_bytes
+            # Local coordinates: the real-byte mask (pos0 + local < n_valid)
+            # is (local < n_valid - pos0), with the bound computed host-side
+            # in Python ints — device positions stay tile-local, so int32
+            # never wraps no matter how large the body is (>= 2 GiB bodies
+            # would overflow global int32 positions).
+            nv_t = jnp.int32(
+                min(max(buf.size - l0 * chunk_bytes, 0), tl * chunk_bytes)
+            )
             if packed:
-                # sizing fetch: the tile's local positions are global minus
-                # pos0, so the real-byte bound is simply n_valid - pos0
-                mini = packed_mini_totals(
-                    vals, jnp.maximum(nv - pos0, 0), m
-                )
-                sb = SUB_BYTES if chunk_bytes % SUB_BYTES == 0 else chunk_bytes
-                cap_sym = min(
-                    -(-max(int(jnp.max(mini)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
-                    sb * m,
-                )
+                mini = packed_mini_totals(vals, nv_t, m)  # tiny sizing fetch
+                cap_sym = packed_sym_cap(mini, m, chunk_bytes)
                 plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
-                    vals, nv, m, cap_sym, pos0=pos0
+                    vals, nv_t, m, cap_sym
                 )
             else:
                 counts, inv, syms = _expand_mask(
-                    vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m,
-                    pos0=pos0,
+                    vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv_t, m
                 )
                 cap_sym = sym_cap(counts, m)
                 plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
@@ -904,19 +951,9 @@ def decode_body_device_tiled(
             entry0 = exits[real_t - 1] if real_t > 0 else exits[tl - 1]
         l0 += tl
 
-    counts_np = np.concatenate(lane_tots)
-    w_inv_np = np.concatenate(w_invs)
-    w_inv_np[w_inv_np >= (1 << 30)] = -1
-    validate_chunk_meta(counts_np, w_inv_np, n_symbols)
-    out = np.concatenate(
-        [extract_plane_symbols(p, mt_) for p, mt_ in zip(planes, minis)]
-    )[:n_symbols]
-    if out.size < n_symbols:
-        raise ValueError(
-            f"bitstream ended early: decoded {out.size} of {n_symbols} symbols"
-        )
-    _check_stream_bits(out, table.lengths, buf.size)
-    return out
+    return assemble_symbol_planes(
+        planes, minis, lane_tots, w_invs, n_symbols, table, buf.size
+    )
 
 
 def device_e2e_default() -> bool:

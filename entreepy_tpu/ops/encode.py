@@ -91,7 +91,11 @@ def encode_blocks_device(
             f, nw, bl = encode_blocks_device(
                 arr[off : off + tile], table, block_bytes
             )
-            flats.append(f)
+            # Trim the tile's tail slack (flat compaction rounds cap_total up
+            # to FLAT_ROUND words): the stitch indexes blocks at
+            # cumsum(nwords), so mid-stream slack would misalign every tile
+            # after the first.
+            flats.append(f[: int(nw.sum())])
             nws.append(nw)
             bls.append(bl)
         return np.concatenate(flats), np.concatenate(nws), np.concatenate(bls)

@@ -486,6 +486,15 @@ def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
     return kernel
 
 
+def fused_tileable(lanes: int, k: int) -> bool:
+    """True when :func:`fused_pass_pallas8` accepts ``[k, lanes]`` shapes —
+    a cheap static precheck so routing decisions (e.g. the streaming tiled
+    decode) can avoid paths that would raise mid-pipeline."""
+    lt = min(LANE_TILE, lanes)
+    kt = min(K_TILE_FUSED, k)
+    return lanes % lt == 0 and k % kt == 0 and kt % UNROLL_FUSED == 0
+
+
 @partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "interpret"))
 def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
                        packed: bool = False, interpret: bool = False):

@@ -445,9 +445,9 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
     The pod-default route of :func:`decompress_sharded`. Returns None on
     Pallas-tile-incompatible shapes (caller falls back to two-pass)."""
     from ..ops.decode8 import (
-        CAP_SYM_ROUND, SUB_BYTES, _expand_mask, assemble_symbol_plane,
-        build_fused, compact_symbols_device, compact_symbols_packed,
-        packed_mini_totals, sym_cap,
+        _expand_mask, assemble_symbol_plane, build_fused,
+        compact_symbols_device, compact_symbols_packed, packed_mini_totals,
+        packed_sym_cap, sym_cap,
     )
 
     n_dev = mesh.devices.size
@@ -472,11 +472,7 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
     k = cols.shape[1]
     if packed:
         mini = packed_mini_totals(vals, nv, m)
-        sb = SUB_BYTES if k % SUB_BYTES == 0 else k
-        cap_sym = min(
-            -(-max(int(jnp.max(mini)), 1) // CAP_SYM_ROUND) * CAP_SYM_ROUND,
-            sb * m,
-        )
+        cap_sym = packed_sym_cap(mini, m, k)
         plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
             vals, nv, m, cap_sym
         )

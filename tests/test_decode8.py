@@ -637,3 +637,52 @@ def test_onepass_corrupt_body_matches_host_behavior(midsummer):
         elif out is not None:
             assert out == ref
     assert detections >= 1
+
+
+def test_tiled_routing_tile_incompatible_falls_back(monkeypatch, midsummer):
+    """Regression: under Pallas, a chunk size the fused kernel cannot tile
+    (e.g. 100: 100 % min(K_TILE_FUSED,100)=64 != 0 after the kt clamp) must
+    route AWAY from the tiled path instead of raising mid-pipeline, and the
+    router + tiled-function prechecks must agree (no recursion)."""
+    import entreepy_tpu.ops.decode8 as d8
+
+    monkeypatch.setattr(d8, "_use_pallas", lambda: True)
+    assert not d8._tileable_onepass("onepass", 100)
+    assert d8._tileable_onepass("onepass", 512)
+    assert d8._tileable_onepass("onepass", 64)
+    assert not d8._tileable_onepass("split", 512)
+    monkeypatch.setattr(d8, "_use_pallas", lambda: False)
+    assert d8._tileable_onepass("onepass", 100)  # scan twin: no constraint
+
+    # Wiring: with pallas "on", the tiled entry point must delegate to the
+    # untiled path for an incompatible chunk size (sentinel, no kernels run).
+    monkeypatch.setattr(d8, "_use_pallas", lambda: True)
+    called = {}
+
+    def sentinel(body, table, n_symbols, *, chunk_bytes, fsm=None):
+        called["chunk"] = chunk_bytes
+        return np.zeros(n_symbols, np.uint8)
+
+    monkeypatch.setattr(d8, "decode_body_device_full", sentinel)
+    et = compress_host(midsummer[:5000])
+    hdr = parse_header(et)
+    out = d8.decode_body_device_tiled(
+        et[hdr.body_start :], hdr.table, hdr.body_len, chunk_bytes=100
+    )
+    assert called["chunk"] == 100 and out.size == hdr.body_len
+
+
+def test_tiled_respects_expand_mode_env(monkeypatch, midsummer):
+    """ENTREEPY_EXPAND=split must not silently run the one-pass tiled
+    pipeline: bodies route through the untiled path (which honors the
+    knob) and still decode exactly."""
+    from entreepy_tpu.ops.decode8 import decode_body_device_tiled
+
+    monkeypatch.setenv("ENTREEPY_EXPAND", "split")
+    et = compress_host(midsummer)
+    hdr = parse_header(et)
+    out = decode_body_device_tiled(
+        et[hdr.body_start :], hdr.table, hdr.body_len,
+        chunk_bytes=64, tile_lanes=64,
+    )
+    assert bytes(out) == midsummer

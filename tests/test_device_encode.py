@@ -207,3 +207,25 @@ def test_tiled_encode_byte_identical(monkeypatch, midsummer):
     finally:
         monkeypatch.delenv("ENTREEPY_TILE_BLOCKS")
         importlib.reload(enc)
+
+
+def test_tiled_encode_flat_compaction_byte_identical(monkeypatch, midsummer):
+    """Regression: with ENTREEPY_ENC_COMPACT=flat the per-tile flat payloads
+    carry FLAT_ROUND tail slack; the tiled wrapper must trim each tile to
+    its live sum(nwords) prefix or the cumsum-offset stitch reads garbage
+    for every tile after the first."""
+    import importlib
+
+    import entreepy_tpu.ops.encode as enc
+    from entreepy_tpu.format import compress_host
+
+    monkeypatch.setenv("ENTREEPY_TILE_BLOCKS", "4")
+    monkeypatch.setenv("ENTREEPY_ENC_COMPACT", "flat")
+    enc2 = importlib.reload(enc)
+    try:
+        data = midsummer[:50000]
+        assert enc2.compress_device(data, block_bytes=256) == compress_host(data)
+    finally:
+        monkeypatch.delenv("ENTREEPY_TILE_BLOCKS")
+        monkeypatch.delenv("ENTREEPY_ENC_COMPACT")
+        importlib.reload(enc)

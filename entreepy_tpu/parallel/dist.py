@@ -64,6 +64,10 @@ from .mesh import BLOCK_AXIS, make_mesh
 
 DEFAULT_BLOCK_BYTES = 4096
 
+# Sharded decode masks real bytes by global int32 positions; compressed
+# bodies at/past this wrap and must take the tile-local streaming path.
+_INT32_SAFE_BODY = 1 << 31
+
 # Diagnostics from the last compress_sharded call (tests assert the encode
 # fetch volume tracks the compressed size, not the input size).
 last_encode_stats: dict = {}
@@ -527,6 +531,17 @@ def decompress_sharded(
         chunk_bytes = max(1, chunk_bits // 8)
     fsm = build_byte_fsm(hdr.table)
     buf = np.frombuffer(et, dtype=np.uint8)[hdr.body_start :]
+    if buf.size >= _INT32_SAFE_BODY:
+        # The sharded expansion masks real bytes by GLOBAL int32 position
+        # (pos0 = shard base), which would wrap for >= 2 GiB compressed
+        # bodies. The .et contract (u32 original length) admits such files;
+        # route them through the single-device streaming tiled decode,
+        # whose positions are tile-local and wrap-free.
+        from ..ops.decode8 import decode_body_device_full
+
+        return decode_body_device_full(
+            buf, hdr.table, hdr.body_len, chunk_bytes=chunk_bytes, fsm=fsm
+        ).tobytes()
 
     n_real_lanes = max(1, -(-buf.size // chunk_bytes))
     # Lanes must split evenly over devices (and into Pallas lane tiles on

@@ -113,3 +113,14 @@ def test_sharded_device_expand_truncated_raises(macbeth, mesh8):
     cut = et[: hdr.body_start + (len(et) - hdr.body_start) // 2]
     with pytest.raises(ValueError, match="ended early|corrupt"):
         decompress_sharded(cut, mesh8, device_expand=True)
+
+
+def test_sharded_big_body_routes_to_tiled(monkeypatch, midsummer, mesh8):
+    """Compressed bodies >= _INT32_SAFE_BODY must route to the tile-local
+    streaming decode (global int32 shard positions would wrap); threshold
+    shrunk so the routing runs at test scale."""
+    import entreepy_tpu.parallel.dist as dist
+
+    et = compress_host(midsummer)
+    monkeypatch.setattr(dist, "_INT32_SAFE_BODY", 1024)
+    assert dist.decompress_sharded(et, mesh8) == midsummer

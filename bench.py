@@ -247,7 +247,7 @@ def _device_probe_stages(et: bytes):
     # pod defaults (onepass + packed).
     from entreepy_tpu.ops.decode8 import (
         build_fused, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, run_fused_decode,
+        packed_sym_cap, plane_checksum, run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
@@ -264,15 +264,7 @@ def _device_probe_stages(et: bytes):
         plane, mt_, lt, wi = compact_symbols_packed(
             vals, jnp.int32(buf.size), m, cap_sym
         )
-        # plane is a [Gs, cap_sym, lanes] grid of mini-lane segments
-        gs = mt_.shape[0]
-        pl3 = plane.reshape(gs, cap_sym, -1)
-        lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
-        mini_start = (jnp.cumsum(mt_, axis=0) - mt_)[:, None, :]
-        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
-        gpos = lane_start + mini_start + j
-        live = ((j < mt_[:, None, :]) & (gpos < N_SYM)).astype(jnp.int32)
-        return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
+        return plane_checksum(plane, mt_, lt, cap_sym, N_SYM)
 
     # Marginal e2e time by pipelining N independent async launches and
     # syncing once: per-launch tunnel overhead (~30-40 ms on complex

@@ -260,7 +260,8 @@ def main() -> int:
     # compute; correctness is separately pinned by tests).
     from entreepy_tpu.ops.decode8 import (
         build_fused, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, run_fused_decode,
+        packed_sym_cap, plane_checksum, plane_checksum_host,
+        run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
@@ -279,16 +280,7 @@ def main() -> int:
         plane, mt_, lt, wi = compact_symbols_packed(
             vals, jnp.int32(buf.size), m, cap_sym
         )
-        # position-weighted checksum over the live, consumed prefix; the
-        # plane is a [Gs, cap_sym, lanes] grid of mini-lane segments
-        gs = mt_.shape[0]
-        pl3 = plane.reshape(gs, cap_sym, -1)
-        lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
-        mini_start = (jnp.cumsum(mt_, axis=0) - mt_)[:, None, :]
-        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
-        gpos = lane_start + mini_start + j
-        live = ((j < mt_[:, None, :]) & (gpos < N_SYM)).astype(jnp.int32)
-        return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
+        return plane_checksum(plane, mt_, lt, cap_sym, N_SYM)
 
     def run_e2e():
         a, b_ = e2e(cols, tbl, t_fused)
@@ -296,11 +288,8 @@ def main() -> int:
 
     (chk, tot), _t = run_e2e(), None
     assert tot >= len(data), (tot, len(data))
-    ref = np.bitwise_xor(
-        np.frombuffer(data, np.uint8).astype(np.int64), np.arange(len(data)) & 0xFF
-    )
-    # the device accumulates in int32 (wrapping); compare modulo 2^32
-    assert chk & 0xFFFFFFFF == int(ref.sum()) & 0xFFFFFFFF, \
+    exp = plane_checksum_host(np.frombuffer(data, np.uint8), 0, tot, len(data))
+    assert chk & 0xFFFFFFFF == exp & 0xFFFFFFFF, \
         "device e2e output checksum mismatch"
 
     # Marginal e2e time by pipelining N independent async launches and

@@ -36,7 +36,8 @@ def main() -> int:
     from entreepy_tpu.ops.decode8 import (
         _pad_lanes, _table_T_bf16, build_expand, build_fused, bytes_to_cols,
         compact_symbols_device, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, run_expand, run_fused_decode, sym_cap,
+        packed_sym_cap, plane_checksum, run_expand, run_fused_decode,
+        sym_cap,
     )
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
@@ -57,14 +58,7 @@ def main() -> int:
     mode = os.environ.get("ENTREEPY_EXPAND", "onepass")
 
     def checksum(plane, mt_, lt, cap_sym):
-        gs = mt_.shape[0]
-        pl3 = plane.reshape(gs, cap_sym, -1)
-        lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
-        mini_start = (jnp.cumsum(mt_, axis=0) - mt_)[:, None, :]
-        j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
-        gpos = lane_start + mini_start + j
-        live = ((j < mt_[:, None, :]) & (gpos < n_sym)).astype(jnp.int32)
-        return jnp.sum((pl3.astype(jnp.int32) ^ (gpos & 0xFF)) * live), jnp.sum(lt)
+        return plane_checksum(plane, mt_, lt, cap_sym, n_sym)
 
     if mode == "onepass":
         t_fused, m, mt, s_pad = build_fused(fsm)

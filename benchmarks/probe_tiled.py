@@ -70,7 +70,8 @@ def main() -> int:
     from entreepy_tpu.ops.decode8 import (
         DEFAULT_CHUNK_BYTES, _table_T_bf16, _use_pallas, build_fused,
         bytes_to_cols, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, run_fused_decode,
+        packed_sym_cap, plane_checksum, plane_checksum_host,
+        run_fused_decode,
     )
     from entreepy_tpu.ops.pallas_fsm8 import LANE_TILE
 
@@ -140,17 +141,8 @@ def main() -> int:
             plane, mt_, lt, wi = compact_symbols_packed(
                 vals, nv_t, m, cap_sym
             )
-            gs = mt_.shape[0]
-            pl3 = plane.reshape(gs, cap_sym, -1)
-            mini_start = (jnp.cumsum(mt_, axis=0) - mt_)[:, None, :]
-            lane_start = (jnp.cumsum(lt) - lt)[None, None, :]
-            j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
-            pos_l = lane_start + mini_start + j  # tile-local symbol order
-            live = (
-                (j < mt_[:, None, :]) & (start + pos_l < n_sym)
-            ).astype(jnp.int32)
-            chk = jnp.sum((pl3.astype(jnp.int32) ^ (pos_l & 0xFF)) * live)
-            return chk, jnp.sum(lt), exits, jnp.sum(u)
+            chk, tot = plane_checksum(plane, mt_, lt, cap_sym, n_sym, start)
+            return chk, tot, exits, jnp.sum(u)
 
         return f
 
@@ -178,10 +170,9 @@ def main() -> int:
     assert tot_syms >= len(data), (tot_syms, len(data))
     # exact per-tile checksums against the source bytes (device sums wrap
     # in int32 — compare modulo 2^32)
-    darr = np.frombuffer(data, np.uint8).astype(np.int64)
+    darr = np.frombuffer(data, np.uint8)
     for i, ((chk, _tot, _u), st, tt) in enumerate(zip(out, starts, tile_tots)):
-        seg = darr[st: min(st + tt, n_sym)]
-        exp = int(np.sum(seg ^ (np.arange(seg.size) & 0xFF)))
+        exp = plane_checksum_host(darr, int(st), tt, n_sym)
         assert chk & 0xFFFFFFFF == exp & 0xFFFFFFFF, (
             f"tile {i} checksum mismatch"
         )

@@ -668,6 +668,39 @@ def extract_plane_symbols(plane, mini_tot) -> np.ndarray:
     return arr[mask]
 
 
+def plane_checksum(plane, mini_tot, lane_tot, cap_sym: int, n_sym: int,
+                   start=0):
+    """Position-weighted checksum of a compacted symbol plane's live prefix
+    (jittable; int32 wrapping — compare modulo 2^32). The device-side
+    verification primitive the benches sync on instead of fetching the
+    decoded bytes (through a slow link the fetch would swamp compute;
+    correctness is pinned by comparing against :func:`plane_checksum_host`
+    on the source bytes). ``start`` is the plane's global symbol offset
+    (tiled callers pass the tile's start so the trailing padding-derived
+    symbol masks out); positions in the XOR stay plane-LOCAL on both sides.
+    Returns (checksum, total live symbols incl. any trailing extra)."""
+    gs = mini_tot.shape[0]
+    pl3 = plane.reshape(gs, cap_sym, -1)
+    lane_start = (jnp.cumsum(lane_tot) - lane_tot)[None, None, :]
+    mini_start = (jnp.cumsum(mini_tot, axis=0) - mini_tot)[:, None, :]
+    j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
+    pos_l = lane_start + mini_start + j  # plane-local symbol order
+    live = (
+        (j < mini_tot[:, None, :]) & (start + pos_l < n_sym)
+    ).astype(jnp.int32)
+    chk = jnp.sum((pl3.astype(jnp.int32) ^ (pos_l & 0xFF)) * live)
+    return chk, jnp.sum(lane_tot)
+
+
+def plane_checksum_host(data: np.ndarray, start: int, tot: int,
+                        n_sym: int) -> int:
+    """Expected value of :func:`plane_checksum` over the source bytes:
+    ``data[start : min(start+tot, n_sym)]`` XORed with plane-local
+    positions. Compare modulo 2^32 (the device accumulates in int32)."""
+    seg = data[start: min(start + tot, n_sym)].astype(np.int64)
+    return int(np.sum(seg ^ (np.arange(seg.size) & 0xFF)))
+
+
 def assemble_symbol_planes(
     planes, minis, lane_tots, w_invs, n_symbols, table, n_body
 ) -> np.ndarray:

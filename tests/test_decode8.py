@@ -686,3 +686,46 @@ def test_tiled_respects_expand_mode_env(monkeypatch, midsummer):
         chunk_bytes=64, tile_lanes=64,
     )
     assert bytes(out) == midsummer
+
+
+def test_plane_checksum_matches_host(midsummer):
+    """plane_checksum (the verification primitive every chip bench syncs on)
+    must agree with plane_checksum_host through the real one-pass pipeline,
+    both untiled (start=0) and at a nonzero tile start."""
+    from entreepy_tpu.format.fsm8 import build_byte_fsm
+    from entreepy_tpu.ops.decode8 import (
+        _table_T_bf16, build_fused, bytes_to_cols, compact_symbols_packed,
+        packed_mini_totals, packed_sym_cap, plane_checksum,
+        plane_checksum_host, run_fused_decode,
+    )
+
+    import jax.numpy as jnp
+
+    data = midsummer
+    et = compress_host(data)
+    hdr = parse_header(et)
+    fsm = build_byte_fsm(hdr.table)
+    buf = np.frombuffer(et, np.uint8)[hdr.body_start :]
+    chunk = 512
+    n_real = max(1, -(-buf.size // chunk))
+    padded = np.zeros(n_real * chunk, np.uint8)
+    padded[: buf.size] = buf
+    cols = bytes_to_cols(padded, n_real, chunk)
+    t_fused, m, mt, s = build_fused(fsm)
+    vals, _x, u = run_fused_decode(
+        cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real), m, mt, s,
+        packed=True,
+    )
+    assert not bool(u)
+    nv = jnp.int32(buf.size)
+    mini = packed_mini_totals(vals, nv, m)
+    cap = packed_sym_cap(mini, m, chunk)
+    plane, mt_, lt, wi = compact_symbols_packed(vals, nv, m, cap)
+    darr = np.frombuffer(data, np.uint8)
+    chk, tot = plane_checksum(plane, mt_, lt, cap, len(data))
+    exp = plane_checksum_host(darr, 0, int(tot), len(data))
+    assert int(chk) & 0xFFFFFFFF == exp & 0xFFFFFFFF
+    # nonzero start: masking must drop exactly the positions past n_sym
+    chk2, _ = plane_checksum(plane, mt_, lt, cap, len(data) // 2, start=0)
+    exp2 = plane_checksum_host(darr, 0, int(tot), len(data) // 2)
+    assert int(chk2) & 0xFFFFFFFF == exp2 & 0xFFFFFFFF

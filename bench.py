@@ -115,6 +115,7 @@ def _device_probe_child(et_path: str, out_path: str) -> None:
     """Child-process entry: run the probe stages, append each stage's JSON
     to ``out_path`` as it lands, and put any traceback in an 'error' field
     (the parent relays it to stderr — never silent)."""
+    import threading
     import traceback
 
     def emit(d: dict) -> None:
@@ -122,6 +123,25 @@ def _device_probe_child(et_path: str, out_path: str) -> None:
             f.write(json.dumps(d) + "\n")
             f.flush()
 
+    # Backend INIT watchdog: with the tunnel down, even default_backend()
+    # blocks indefinitely (the axon plugin retries the connection), which
+    # would silently burn the probe's whole 540 s budget. Init normally
+    # takes seconds — compiles are what take minutes — so give it 120 s,
+    # then bail fast with a diagnostic. The timer is cancelled before the
+    # compile-heavy stages start.
+    def _bail():
+        emit({"error": "backend init exceeded 120 s (tunnel down?)"})
+        os._exit(3)
+
+    watchdog = threading.Timer(120, _bail)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        import jax
+
+        jax.default_backend()  # forces backend init
+    finally:
+        watchdog.cancel()
     try:
         et = open(et_path, "rb").read()
         for stage in _device_probe_stages(et):

@@ -81,7 +81,6 @@ def main() -> int:
     int(jnp.sum(cols))
 
     ref_exits = None
-    n_hi = args.passes
     for kt, unroll, i8, packed in CONFIGS:
         if kt % unroll:
             continue
@@ -113,14 +112,14 @@ def main() -> int:
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            t1, tn = timed(1), timed(n_hi)
-            pp = max((tn - t1) / (n_hi - 1), 1e-9)
+            t1, tn = timed(1), timed(args.passes)
+            pp = max((tn - t1) / (args.passes - 1), 1e-9)
             exits = np.asarray(fused_n(xs, t_fused, e0, 1))
             if ref_exits is None:
                 ref_exits = exits
-            # one [256, W] x onehot(byte) contraction per byte; W = table
-            # width 2s + 9(mt+2)
-            macs = buf.size * (2 * s + 9 * (mt + 2)) * 256
+            # one [256, W] x onehot(byte) contraction per byte; W = the
+            # fused table's actual width (2s + 9(mt+2))
+            macs = buf.size * t_fused.shape[1] * 256
             peak = 197e12 if i8 else 98.5e12
             print(json.dumps({
                 "kt": kt, "unroll": unroll, "dtype": "int8" if i8 else "bf16",

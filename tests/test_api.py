@@ -159,3 +159,26 @@ def test_version_consistent():
     text = (Path(__file__).parent.parent / "pyproject.toml").read_text()
     v = re.search(r'^version = "(.*)"$', text, re.M).group(1)
     assert entreepy_tpu.__version__ == v
+
+
+def test_h2d_calibration_deadline(monkeypatch):
+    """A hung device link must degrade to host routing, not block: the probe
+    runs in a deadline-bounded thread (regression for the dead-tunnel hang
+    on the first >= POD_DEVICE_MIN auto call)."""
+    import time
+
+    import entreepy_tpu.api as api
+
+    monkeypatch.setattr(api, "_h2d_fast_cache", [])
+    monkeypatch.setattr(
+        api, "_h2d_probe", lambda: (time.sleep(5), True)[1]
+    )
+    t0 = time.perf_counter()
+    assert api._h2d_fast(deadline_s=0.2) is False
+    assert time.perf_counter() - t0 < 2
+    # cached: no second probe
+    assert api._h2d_fast(deadline_s=0.2) is False
+
+    monkeypatch.setattr(api, "_h2d_fast_cache", [])
+    monkeypatch.setattr(api, "_h2d_probe", lambda: True)
+    assert api._h2d_fast() is True

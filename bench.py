@@ -85,9 +85,13 @@ def device_kernel_decode_ms(et: bytes) -> dict | None:
         "_device_probe_child(%r, %r)\n" % (str(Path(__file__).parent), path, out_path)
     )
     result: dict = {}
+    # Driver runs use the 540 s default; a manual warm-up session can raise
+    # this so every cold tunnel compile lands into .jax_cache in one pass.
+    probe_timeout = int(os.environ.get("ENTREEPY_BENCH_PROBE_TIMEOUT", "540"))
     try:
         r = subprocess.run([_sys.executable, "-u", "-c", code],
-                           capture_output=True, text=True, timeout=540)
+                           capture_output=True, text=True,
+                           timeout=probe_timeout)
         if r.returncode != 0:
             print(f"[bench] device probe exited rc={r.returncode}:\n"
                   f"{r.stderr[-2000:]}", file=sys.stderr)

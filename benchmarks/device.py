@@ -182,7 +182,9 @@ def main() -> int:
     exp_chk = int(np.sum((payv ^ idxn) * liven)) + int(
         np.sum(pl_np[:, -1].astype(np.int64) ^ (g_e * cap))
     )
-    assert chk_d == exp_chk, "device e2e encode checksum"
+    assert chk_d & 0xFFFFFFFF == exp_chk & 0xFFFFFFFF, (
+        "device e2e encode checksum"
+    )
 
     def enc_burst(n):
         outs = [e2e_enc(b, v, ct) for _ in range(n)]

@@ -409,10 +409,12 @@ def expand_pass_split_pallas8(xs, states_T, t_split, m: int, mt: int,
 # emit+split-expand pair) plus the [(m+1)*kt, lt] output block. Interleaved
 # same-process sweep on v5e (5.2 MB corpus, chained-marginal medians over 5
 # rounds): (64,8) 2.05 ms beats (128,8) 2.09, (256,4) 2.17, (64,4) 2.18,
-# (128,4) 2.22, (128,2) 2.38; (512,4) fails to compile (VMEM). Env knobs
-# for sweeps (see CLAUDE.md).
+# (128,4) 2.22, (128,2) 2.38; (512,4) fails to compile (VMEM). A second
+# on-chip sweep (r4, tune_fused + full-e2e interleaved A/B) moved the
+# default to (64,16): pass 1.30 vs 1.35 ms, e2e median 4.21 vs 4.31 ms,
+# checksums byte-equal. Env knobs for sweeps (see CLAUDE.md).
 K_TILE_FUSED = int(os.environ.get("ENTREEPY_FUSED_KT", "64"))
-UNROLL_FUSED = int(os.environ.get("ENTREEPY_FUSED_UNROLL", "8"))
+UNROLL_FUSED = int(os.environ.get("ENTREEPY_FUSED_UNROLL", "16"))
 
 
 def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):

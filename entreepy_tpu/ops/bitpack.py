@@ -284,8 +284,13 @@ def compact_payload_flat(words, emitted, acc, nbits, cap_g: int, cap_total: int)
 # this narrow per subgroup and the HOST slices live prefixes from the
 # fetched plane (the decode-side plane trick) — no global stage-2 sort.
 # Narrow subgroups cut sort cost; wide ones cut per-subgroup cap slack
-# (fetch inflation). Swept on v5e — see PLANE_SUB definition note below.
-PLANE_SUB = int(os.environ.get("ENTREEPY_PLANE_SUB", "128"))
+# (fetch inflation). Interleaved same-process sweep on v5e (5.2 MB .et
+# bytes, 4096-byte blocks, full pack+compact e2e medians over 5 rounds /
+# fetch inflation): 64 -> 0.77 ms / 2.78x, 128 -> 2.97 / 2.09 (a
+# reproducible XLA sort-size cliff — matches the standalone bench run),
+# 256 -> 0.97 / 1.74, 512 -> 1.24 / 1.57. 256 is the default: within
+# 0.2 ms of the fastest with ~1 MB/5 MB less D2H than 64.
+PLANE_SUB = int(os.environ.get("ENTREEPY_PLANE_SUB", "256"))
 
 
 def plane_sub_for(steps: int) -> int:

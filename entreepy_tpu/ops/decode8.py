@@ -48,13 +48,17 @@ DEFAULT_CHUNK_BYTES = 512
 SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
 MAX_SYNC_PASSES = 24
 # Compaction subgroup width: narrow sorts are cheaper on TPU (sort networks
-# grow ~log^2 of sorted width). Interleaved same-process sweep on v5e at
-# chunk=512/m=3 (cross-process runs drift +-2 ms): e2e medians 8->6.26,
-# 16->6.41, 32->6.67, 64->7.78 ms — but 8/16 push the fetched symbol plane
-# to ~1.7x the output (their per-subgroup cap rides the sb*m bound), so 32
-# keeps the ~1.15x fetch contract and most of the compute win. Env knob for
-# sweeps (benchmarks/probe_decode_stages.py, /tmp-style interleaved sweeps).
-SUB_BYTES = int(os.environ.get("ENTREEPY_SUB_BYTES", "32"))
+# grow ~log^2 of sorted width). Interleaved same-process sweeps on v5e at
+# chunk=512/m=3 (cross-process runs drift +-2 ms): r3 two-pass e2e medians
+# 8->6.26, 16->6.41, 32->6.67, 64->7.78 ms; r4 one-pass(unroll=16) e2e
+# medians 8->3.83, 16->3.98, 32->4.15, 64->4.67 ms, checksums byte-equal.
+# 8 is the default: on the pod-default fully on-device path the symbol
+# plane never crosses D2H (consumed by on-device stitch/checksum), so its
+# ~1.7x cap slack costs only HBM; host-fetch consumers on DCN-bound links
+# (multihost decode) can set ENTREEPY_SUB_BYTES=32 to restore the ~1.15x
+# fetch at ~8% more device time. Env knob for sweeps
+# (benchmarks/probe_decode_stages.py, /tmp-style interleaved sweeps).
+SUB_BYTES = int(os.environ.get("ENTREEPY_SUB_BYTES", "8"))
 CAP_SYM_ROUND = 16  # per-subgroup symbol caps round up to this
 from .pallas_fsm8 import LANE_TILE  # lanes pad to a multiple of the kernel tile
 

@@ -307,8 +307,9 @@ def test_compact_symbols_overflow_poisons_lane_tot():
     counts[:sb, 2] = 2  # subgroup 0 of lane 2 emits 2*sb symbols
     inv = np.zeros((k, lanes), bool)
     syms = np.zeros((k, m, lanes), np.uint8)
+    # cap = sb < the 2*sb fill, whatever width SUB_BYTES is set to
     _, mini_tot, lane_tot, _ = compact_symbols_device(
-        jnp.asarray(counts), jnp.asarray(inv), jnp.asarray(syms), m, 16
+        jnp.asarray(counts), jnp.asarray(inv), jnp.asarray(syms), m, sb
     )
     assert int(np.asarray(mini_tot).max()) == 2 * sb
     assert (np.asarray(lane_tot) == -1).all()

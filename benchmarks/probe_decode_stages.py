@@ -152,9 +152,11 @@ def main() -> int:
     only = set(
         s for s in os.environ.get("ENTREEPY_PROBE_STAGES", "").split(",") if s
     )
+    from entreepy_tpu.ops.decode8 import SUB_BYTES
+
     out = {
         "mode": mode,
-        "sub_bytes": int(os.environ.get("ENTREEPY_SUB_BYTES", "32")),
+        "sub_bytes": SUB_BYTES,  # the live default, not a re-parse of the env
     }
     prev = 0.0
     for name, fn in stages:

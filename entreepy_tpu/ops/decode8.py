@@ -576,7 +576,8 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     multi-MB transposes enter the pipeline. The lanes are NOT flattened
     into one stream on device — a measured global 1-D sort over the
     ~n_symbols grid cost more than the whole FSM decode — the host fetches
-    [cap_sym, lanes] (~cap_sym/avg ≈ 1.1-1.2x the output bytes) and
+    [cap_sym, lanes] (~cap_sym/avg of the output bytes: ~1.7x at the
+    SUB_BYTES=8 default, ~1.15x at 32 — see the SUB_BYTES note) and
     concatenates the live column prefixes. Also returns per-lane totals
     and first-invalid offsets for :func:`validate_chunk_meta`.
 

@@ -52,13 +52,17 @@ MAX_SYNC_PASSES = 24
 # chunk=512/m=3 (cross-process runs drift +-2 ms): r3 two-pass e2e medians
 # 8->6.26, 16->6.41, 32->6.67, 64->7.78 ms; r4 one-pass(unroll=16) e2e
 # medians 8->3.83, 16->3.98, 32->4.15, 64->4.67 ms, checksums byte-equal.
-# 8 is the default: on the pod-default fully on-device path the symbol
-# plane never crosses D2H (consumed by on-device stitch/checksum), so its
-# ~1.7x cap slack costs only HBM; host-fetch consumers on DCN-bound links
-# (multihost decode) can set ENTREEPY_SUB_BYTES=32 to restore the ~1.15x
-# fetch at ~8% more device time. Env knob for sweeps
+# 8 is the default: its ~1.7x cap slack (vs ~1.15x at 32) adds ~3 MB of
+# plane D2H per 5.2 MB output — ~0.2 ms on PCIe-class links against the
+# 0.32 ms compute win, and less on pod DMA. Sharded/multihost paths fetch
+# the plane over DCN where that trade flips, so they pass SUB_BYTES_FETCH
+# (below) explicitly. Env knobs for sweeps
 # (benchmarks/probe_decode_stages.py, /tmp-style interleaved sweeps).
 SUB_BYTES = int(os.environ.get("ENTREEPY_SUB_BYTES", "8"))
+# Host-fetch consumers (sharded/multihost decode) keep wider subgroups: their
+# symbol plane crosses D2H/DCN, so the per-subgroup cap slack is interconnect
+# bandwidth there, not just HBM (~1.15x fetch at 32 vs ~1.7x at 8).
+SUB_BYTES_FETCH = int(os.environ.get("ENTREEPY_SUB_BYTES_FETCH", "32"))
 CAP_SYM_ROUND = 16  # per-subgroup symbol caps round up to this
 from .pallas_fsm8 import LANE_TILE  # lanes pad to a multiple of the kernel tile
 
@@ -471,8 +475,16 @@ def run_fused_decode(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
                              packed=packed, entry0=entry0)
 
 
-@partial(jax.jit, static_argnames=("m",))
-def packed_mini_totals(words, n_valid, m: int):
+def _sub_width(k: int, sub: int | None) -> int:
+    """Resolve a compaction subgroup width: explicit ``sub`` (host-fetch
+    callers pass SUB_BYTES_FETCH), else the on-device SUB_BYTES default;
+    either falls back to the whole chunk when it doesn't tile."""
+    s = sub if sub else SUB_BYTES
+    return s if k % s == 0 else k
+
+
+@partial(jax.jit, static_argnames=("m", "sub"))
+def packed_mini_totals(words, n_valid, m: int, sub: int | None = None):
     """Per-(subgroup, lane) symbol totals straight from packed fused words
     (the :func:`sym_cap` sizing reduce without materializing counts in
     HBM). Returns int32[Gs, lanes]."""
@@ -482,19 +494,20 @@ def packed_mini_totals(words, n_valid, m: int):
         k, dtype=jnp.int32
     )[:, None]
     counts = jnp.where(pos < n_valid, raw & 15, 0)
-    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    sb = _sub_width(k, sub)
     return jnp.sum(counts.reshape(k // sb, sb, lanes), axis=1)
 
 
-@partial(jax.jit, static_argnames=("m", "cap_sym"))
-def compact_symbols_packed(words, n_valid, m: int, cap_sym: int, pos0=0):
+@partial(jax.jit, static_argnames=("m", "cap_sym", "sub"))
+def compact_symbols_packed(words, n_valid, m: int, cap_sym: int, pos0=0,
+                           sub: int | None = None):
     """Packed fused words -> compacted symbol plane: unpack (elementwise
     shifts, fused by XLA into the compaction's key build — no [K, m+1,
     lanes] intermediate ever hits HBM) + real-byte mask + the per-subgroup
     sort of :func:`compact_symbols_device`. Same returns."""
     raw, syms = unpack_fused_rows(words, m)
     counts, inv, syms = _expand_mask(raw, syms, n_valid, m, pos0)
-    return compact_symbols_device(counts, inv, syms, m, cap_sym)
+    return compact_symbols_device(counts, inv, syms, m, cap_sym, sub=sub)
 
 
 def expand_pass_split(cols, states, t_split, n_valid, m: int, mt: int, pos0=0):
@@ -565,8 +578,9 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int, pos0=0):
     return _expand_mask(raw, syms, n_valid, m, pos0)
 
 
-@partial(jax.jit, static_argnames=("m", "cap_sym"))
-def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
+@partial(jax.jit, static_argnames=("m", "cap_sym", "sub"))
+def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
+                           sub: int | None = None):
     """Dense per-byte symbol slots -> per-lane compacted symbol columns.
 
     One per-lane sort packs each lane's symbols to the column front
@@ -594,7 +608,7 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     lane_tot int32[lanes], w_inv int32[lanes], 1<<30 = none).
     """
     k, lanes = counts.shape
-    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    sb = _sub_width(k, sub)
     gs = k // sb
     sg = sb * m  # slots per subgroup
     if sg >= 1 << 22:
@@ -638,24 +652,24 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int):
     return plane.reshape(gs * cap_sym, lanes), mini_tot, lane_tot, w_inv
 
 
-def sym_cap(counts, m: int):
+def sym_cap(counts, m: int, sub: int | None = None):
     """Static per-subgroup symbol cap for :func:`compact_symbols_device`:
     fetches the subgroup totals' max (tiny) and rounds to CAP_SYM_ROUND
     columns (bounds jit recompiles). The subgroup width is derived from
     ``counts.shape[0]`` (the chunk size), same as the compaction itself."""
     k = counts.shape[0]
-    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    sb = _sub_width(k, sub)
     mini = jnp.sum(counts.reshape(k // sb, sb, counts.shape[1]), axis=1)
     mx = max(int(jnp.max(mini)), 1)
     return min(-(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m)
 
 
-def packed_sym_cap(mini, m: int, k: int) -> int:
+def packed_sym_cap(mini, m: int, k: int, sub: int | None = None) -> int:
     """Static per-subgroup symbol cap from :func:`packed_mini_totals` output
     (the packed-mode twin of :func:`sym_cap`, shared by every packed call
     site so the cap rule lives in one place): fetches the mini-total max
     (tiny) and rounds to CAP_SYM_ROUND columns (bounds jit recompiles)."""
-    sb = SUB_BYTES if k % SUB_BYTES == 0 else k
+    sb = _sub_width(k, sub)
     mx = max(int(jnp.max(mini)), 1)
     return min(-(-mx // CAP_SYM_ROUND) * CAP_SYM_ROUND, sb * m)
 

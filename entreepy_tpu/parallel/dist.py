@@ -449,7 +449,7 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
     The pod-default route of :func:`decompress_sharded`. Returns None on
     Pallas-tile-incompatible shapes (caller falls back to two-pass)."""
     from ..ops.decode8 import (
-        _expand_mask, assemble_symbol_plane, build_fused,
+        SUB_BYTES_FETCH, _expand_mask, assemble_symbol_plane, build_fused,
         compact_symbols_device, compact_symbols_packed, packed_mini_totals,
         packed_sym_cap, sym_cap,
     )
@@ -474,19 +474,21 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
         return out.tobytes()
     nv = jnp.int32(buf.size)
     k = cols.shape[1]
+    # Wider subgroups than the on-device default: this plane crosses
+    # D2H (and DCN on pods), so cap slack is fetched bandwidth here.
     if packed:
-        mini = packed_mini_totals(vals, nv, m)
-        cap_sym = packed_sym_cap(mini, m, k)
+        mini = packed_mini_totals(vals, nv, m, sub=SUB_BYTES_FETCH)
+        cap_sym = packed_sym_cap(mini, m, k, sub=SUB_BYTES_FETCH)
         plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
-            vals, nv, m, cap_sym
+            vals, nv, m, cap_sym, sub=SUB_BYTES_FETCH
         )
     else:
         counts, inv, syms = _expand_mask(
             vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv, m
         )
-        cap_sym = sym_cap(counts, m)
+        cap_sym = sym_cap(counts, m, sub=SUB_BYTES_FETCH)
         plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
-            counts, inv, syms, m, cap_sym
+            counts, inv, syms, m, cap_sym, sub=SUB_BYTES_FETCH
         )
     return assemble_symbol_plane(
         plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size
@@ -595,17 +597,19 @@ def _expand_on_shards(mesh, axis, cols, states, buf, fsm, table, n_symbols) -> b
     host only fetches tiny per-lane metadata and the compacted symbol
     columns, applies the serial-exact accept/reject, and concatenates."""
     from ..ops.decode8 import (
-        assemble_symbol_plane, build_expand, compact_symbols_device, sym_cap,
+        SUB_BYTES_FETCH, assemble_symbol_plane, build_expand,
+        compact_symbols_device, sym_cap,
     )
 
     t_exp, m, mt = build_expand(fsm)
     counts, inv, syms = _expand_fn(mesh, axis, m, mt)(
         cols, states, t_exp, jnp.full((1,), buf.size, dtype=jnp.int32)
     )
-    cap_sym = sym_cap(counts, m)  # tiny sizing fetch
-    # per-lane ops only — GSPMD keeps the lane sharding, no collectives
+    cap_sym = sym_cap(counts, m, sub=SUB_BYTES_FETCH)  # tiny sizing fetch
+    # per-lane ops only — GSPMD keeps the lane sharding, no collectives;
+    # wider subgroups: this plane is fetched across D2H/DCN
     plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
-        counts, inv, syms, m, cap_sym
+        counts, inv, syms, m, cap_sym, sub=SUB_BYTES_FETCH
     )
     return assemble_symbol_plane(
         plane, mini_tot, lane_tot, w_inv, n_symbols, table, buf.size

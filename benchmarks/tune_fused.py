@@ -33,12 +33,13 @@ import numpy as np  # noqa: E402
 # (K_TILE_FUSED, UNROLL_FUSED, int8 table, packed rows). Defaults first;
 # keep shapes near the known-compiling region (kt % unroll == 0 required).
 CONFIGS = [
-    (64, 8, True, True),   # current default
-    (64, 8, True, False),
-    (64, 8, False, True),
-    (128, 8, True, True),
-    (64, 16, True, True),
-    (32, 8, True, True),
+    (64, 16, True, True),   # current default (r4 on-chip sweep winner)
+    (64, 16, True, False),
+    (64, 16, False, True),
+    (128, 16, True, True),
+    (32, 16, True, True),
+    (64, 32, True, True),
+    (64, 8, True, True),    # the r3 default, as the regression anchor
 ]
 
 

@@ -270,25 +270,19 @@ def _device_probe_stages(et: bytes):
     # compressed->bytes, not just per-pass. Matches decode_body_device_full
     # pod defaults (onepass + packed).
     from entreepy_tpu.ops.decode8 import (
-        build_fused, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, plane_checksum, run_fused_decode,
+        build_fused, compact_symbols_dense, plane_checksum, run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
-    v0, _x, _u = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real), m,
-                                  mt, s_pad, packed=True)
-    mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-    cap_sym = packed_sym_cap(mini0, m, chunk_bytes)  # tiny sizing fetch
     N_SYM = hdr.body_len  # mask padding-derived trailing symbols
 
     @jax.jit
     def e2e(cols_, tbl_, tf_):
         vals, _x, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
-                                       m, mt, s_pad, packed=True)
-        plane, mt_, lt, wi = compact_symbols_packed(
-            vals, jnp.int32(buf.size), m, cap_sym
-        )
-        return plane_checksum(plane, mt_, lt, cap_sym, N_SYM)
+                                       m, mt, s_pad, packed=True,
+                                       n_valid=jnp.int32(buf.size))
+        plane, mt_, lt, wi = compact_symbols_dense(vals, m)
+        return plane_checksum(plane, mt_, lt, m, N_SYM)
 
     # Marginal e2e time by pipelining N independent async launches and
     # syncing once: per-launch tunnel overhead (~30-40 ms on complex

@@ -261,16 +261,11 @@ def main() -> int:
     # dependent fetch — through the tunnel a 5 MB output fetch would swamp
     # compute; correctness is separately pinned by tests).
     from entreepy_tpu.ops.decode8 import (
-        build_fused, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, plane_checksum, plane_checksum_host,
-        run_fused_decode,
+        build_fused, compact_symbols_dense, plane_checksum,
+        plane_checksum_host, run_fused_decode,
     )
 
     t_fused, m, mt, s_pad = build_fused(fsm)
-    v0, _x0, _u0 = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
-                                    m, mt, s_pad, packed=True)
-    mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-    cap_sym = packed_sym_cap(mini0, m, chunk)  # tiny sizing fetch
     N_SYM = len(data)  # checksum only real output positions (the final body
     # byte's zero-padding bits can emit one trailing extra symbol, trimmed
     # on the real decode path)
@@ -278,11 +273,10 @@ def main() -> int:
     @jax.jit
     def e2e(cols_, tbl_, tf_):
         vals, _x, u = run_fused_decode(cols_, tbl_, tf_, jnp.int32(n_real),
-                                       m, mt, s_pad, packed=True)
-        plane, mt_, lt, wi = compact_symbols_packed(
-            vals, jnp.int32(buf.size), m, cap_sym
-        )
-        return plane_checksum(plane, mt_, lt, cap_sym, N_SYM)
+                                       m, mt, s_pad, packed=True,
+                                       n_valid=jnp.int32(buf.size))
+        plane, mt_, lt, wi = compact_symbols_dense(vals, m)
+        return plane_checksum(plane, mt_, lt, m, N_SYM)
 
     def run_e2e():
         a, b_ = e2e(cols, tbl, t_fused)

@@ -67,10 +67,11 @@ def main() -> int:
 
     t_fused, m, mt, s_pad = build_fused(fsm)
     v0, _x, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
-                                 m, mt, s_pad, packed=True)
+                                 m, mt, s_pad, packed=True,
+                                 n_valid=jnp.int32(buf.size))
 
     def cap_for(sub):
-        mini = packed_mini_totals(v0, jnp.int32(buf.size), m, sub=sub)
+        mini = packed_mini_totals(v0, m, sub=sub)
         return packed_sym_cap(mini, m, chunk, sub=sub)
 
     caps = {sub: cap_for(sub) for sub in (2, 4, SUB_BYTES)}
@@ -144,7 +145,8 @@ def main() -> int:
         @jax.jit
         def f(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(
-                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad, packed=True
+                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad,
+                packed=True, n_valid=jnp.int32(buf.size)
             )
             raw, syms = unpack_fused_rows(vals, m)
             counts, inv, syms = _expand_mask(raw, syms, jnp.int32(buf.size), m)
@@ -168,7 +170,8 @@ def main() -> int:
         @jax.jit
         def f(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(
-                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad, packed=True
+                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad,
+                packed=True, n_valid=jnp.int32(buf.size)
             )
             raw, syms = unpack_fused_rows(vals, m)
             counts, inv, syms = _expand_mask(raw, syms, jnp.int32(buf.size), m)
@@ -189,7 +192,8 @@ def main() -> int:
         @jax.jit
         def f(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(
-                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad, packed=True
+                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad,
+                packed=True, n_valid=jnp.int32(buf.size)
             )
             raw, syms = unpack_fused_rows(vals, m)
             counts, inv, syms = _expand_mask(raw, syms, jnp.int32(buf.size), m)
@@ -204,7 +208,8 @@ def main() -> int:
         @jax.jit
         def f(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(
-                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad, packed=True
+                cols_, tbl_, tf_, jnp.int32(n_real), m, mt, s_pad,
+                packed=True, n_valid=jnp.int32(buf.size)
             )
             raw, syms = unpack_fused_rows(vals, m)
             counts, inv, syms = _expand_mask(raw, syms, jnp.int32(buf.size), m)

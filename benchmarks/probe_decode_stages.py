@@ -35,9 +35,8 @@ def main() -> int:
     from entreepy_tpu.format.fsm8 import build_byte_fsm
     from entreepy_tpu.ops.decode8 import (
         _pad_lanes, _table_T_bf16, build_expand, build_fused, bytes_to_cols,
-        compact_symbols_device, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, plane_checksum, run_expand, run_fused_decode,
-        sym_cap,
+        compact_symbols_dense, compact_symbols_device, plane_checksum,
+        run_expand, run_fused_decode, sym_cap,
     )
 
     src = (ROOT / "tests/data/a_midsummer_nights_dream.txt").read_bytes()
@@ -62,37 +61,30 @@ def main() -> int:
 
     if mode == "onepass":
         t_fused, m, mt, s_pad = build_fused(fsm)
-        v0, _x, _ = run_fused_decode(cols, tbl, t_fused, jnp.int32(n_real),
-                                     m, mt, s_pad, packed=True)
-        mini0 = packed_mini_totals(v0, jnp.int32(buf.size), m)
-        cap_sym = packed_sym_cap(mini0, m, chunk)
+        nv = jnp.int32(buf.size)
 
         @jax.jit
         def p_fused(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
                                            jnp.int32(n_real), m, mt, s_pad,
-                                           packed=True)
+                                           packed=True, n_valid=nv)
             return jnp.sum(vals), u
 
         @jax.jit
         def p_compact(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
                                            jnp.int32(n_real), m, mt, s_pad,
-                                           packed=True)
-            plane, mt_, lt, wi = compact_symbols_packed(
-                vals, jnp.int32(buf.size), m, cap_sym
-            )
+                                           packed=True, n_valid=nv)
+            plane, mt_, lt, wi = compact_symbols_dense(vals, m)
             return jnp.sum(plane.astype(jnp.int32)) + jnp.sum(lt), u
 
         @jax.jit
         def p_full(cols_, tbl_, tf_):
             vals, _x, u = run_fused_decode(cols_, tbl_, tf_,
                                            jnp.int32(n_real), m, mt, s_pad,
-                                           packed=True)
-            plane, mt_, lt, wi = compact_symbols_packed(
-                vals, jnp.int32(buf.size), m, cap_sym
-            )
-            return checksum(plane, mt_, lt, cap_sym)
+                                           packed=True, n_valid=nv)
+            plane, mt_, lt, wi = compact_symbols_dense(vals, m)
+            return checksum(plane, mt_, lt, m)
 
         stages = [("fused", p_fused), ("compact", p_compact), ("full", p_full)]
         extra = t_fused

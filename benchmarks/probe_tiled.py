@@ -69,9 +69,8 @@ def main() -> int:
     from entreepy_tpu.format.fsm8 import build_byte_fsm
     from entreepy_tpu.ops.decode8 import (
         DEFAULT_CHUNK_BYTES, _table_T_bf16, _use_pallas, build_fused,
-        bytes_to_cols, compact_symbols_packed, packed_mini_totals,
-        packed_sym_cap, plane_checksum, plane_checksum_host,
-        run_fused_decode,
+        bytes_to_cols, compact_symbols_dense, packed_mini_totals,
+        plane_checksum, plane_checksum_host, run_fused_decode,
     )
     from entreepy_tpu.ops.pallas_fsm8 import LANE_TILE
 
@@ -114,39 +113,29 @@ def main() -> int:
     for cols_t, *_ in tiles:
         cols_t.block_until_ready()
 
-    # Untimed sizing pre-pass: per-tile symbol caps + totals (the product
-    # path's tiny host fetch; one static cap per tile bounds recompiles to
-    # the distinct cap values — usually 1 for a homogeneous corpus). Tile
-    # symbol STARTS fall out of the same fetch, so the timed pass can mask
-    # the trailing padding-derived symbol without any mid-stream sync.
-    caps, tile_tots = [], []
+    # Untimed pre-pass: per-tile symbol totals (tile STARTS for the
+    # checksums' trailing-padding mask; the dense plane itself needs no
+    # sizing — its cap is statically m, so ONE compiled program serves
+    # every tile and corpus). The product path needs no such fetch at all.
+    tile_tots = []
     for cols_t, real_t, nv_t, _l0 in tiles:
         v, _x, _u = run_fused_decode(cols_t, tbl, t_fused, jnp.int32(real_t),
-                                     m, mt, s, packed=True)
-        mini = packed_mini_totals(v, jnp.int32(nv_t), m)
-        caps.append(packed_sym_cap(mini, m, chunk))
-        tile_tots.append(int(jnp.sum(mini)))
+                                     m, mt, s, packed=True,
+                                     n_valid=jnp.int32(nv_t))
+        tile_tots.append(int(jnp.sum(packed_mini_totals(v, m))))
     starts = np.concatenate([[0], np.cumsum(tile_tots)[:-1]]).astype(np.int64)
     n_sym = len(data)
-    print(f"caps={sorted(set(caps))} tile_tots={tile_tots}",
-          file=sys.stderr, flush=True)
+    print(f"tile_tots={tile_tots}", file=sys.stderr, flush=True)
 
-    def tile_fn(cap_sym):
-        @jax.jit
-        def f(cols_, entry0, nv_t, real_t, start):
-            vals, exits, u = run_fused_decode(
-                cols_, tbl, t_fused, real_t, m, mt, s, packed=True,
-                entry0=entry0,
-            )
-            plane, mt_, lt, wi = compact_symbols_packed(
-                vals, nv_t, m, cap_sym
-            )
-            chk, tot = plane_checksum(plane, mt_, lt, cap_sym, n_sym, start)
-            return chk, tot, exits, jnp.sum(u)
-
-        return f
-
-    fns = {c: tile_fn(c) for c in set(caps)}
+    @jax.jit
+    def tile_fn(cols_, entry0, nv_t, real_t, start):
+        vals, exits, u = run_fused_decode(
+            cols_, tbl, t_fused, real_t, m, mt, s, packed=True,
+            entry0=entry0, n_valid=nv_t,
+        )
+        plane, mt_, lt, wi = compact_symbols_dense(vals, m)
+        chk, tot = plane_checksum(plane, mt_, lt, m, n_sym, start)
+        return chk, tot, exits, jnp.sum(u)
 
     def stream_once():
         # Entry chaining stays ON DEVICE: the scalar exits[real_t-1] feeds
@@ -154,8 +143,8 @@ def main() -> int:
         # chaining); nothing syncs until the final readback.
         entry0 = jnp.int32(0)
         chks = []
-        for (cols_t, real_t, nv_t, _l0), cap, st in zip(tiles, caps, starts):
-            chk, tot, exits, unc = fns[cap](
+        for (cols_t, real_t, nv_t, _l0), st in zip(tiles, starts):
+            chk, tot, exits, unc = tile_fn(
                 cols_t, entry0, jnp.int32(nv_t), jnp.int32(real_t),
                 jnp.int32(st),
             )

@@ -401,17 +401,38 @@ def unpack_fused_rows(words, m: int):
     return raw, syms
 
 
+def pack_fused_rows_masked(raw, syms, n_valid, m: int):
+    """Scan-twin of the Pallas kernel's in-kernel count mask: pack
+    (raw [K, lanes], syms [K, m, lanes]) into one int32 word per byte whose
+    count byte is zeroed at lane-linear positions >= ``n_valid`` (padding)
+    — bit-identical to ``fused_pass_pallas8(packed=True)`` output. Symbol
+    slot bytes ride verbatim (dead slots carry table garbage; every
+    consumer gates on the count byte)."""
+    k, lanes = raw.shape
+    pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
+        k, dtype=jnp.int32
+    )[:, None]
+    word = jnp.where(pos < n_valid, raw, 0) << (8 * m)
+    for j in range(m):
+        word = word | (syms[:, j, :].astype(jnp.int32) << (8 * (m - 1 - j)))
+    return word
+
+
 @partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "max_passes"))
 def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
                       s: int, packed: bool = False,
-                      max_passes: int = MAX_SYNC_PASSES, entry0=None):
+                      max_passes: int = MAX_SYNC_PASSES, entry0=None,
+                      n_valid=None):
     """Scan-based one-pass decode (CPU meshes / fallback): cols int32
     [lanes, K] -> (vals int32[K, m+1, lanes] packed rows — or [K, lanes]
-    one-word rows when ``packed`` — exits int32[lanes], unconverged). Same
-    structure as pallas_fsm8.fsm8_decode_fused_pallas. ``entry0`` pins the
-    first lane's entry state (default 0 = stream start; body tiles chain
-    the previous tile's last exit here)."""
+    MASKED one-word rows when ``packed`` (``n_valid`` required) — exits
+    int32[lanes], unconverged). Same structure as
+    pallas_fsm8.fsm8_decode_fused_pallas. ``entry0`` pins the first lane's
+    entry state (default 0 = stream start; body tiles chain the previous
+    tile's last exit here)."""
     lanes, k = cols.shape
+    if packed and n_valid is None:
+        raise ValueError("packed fused rows are masked: pass n_valid")
     xs = cols.T
     real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes
     e0 = jnp.zeros(1, jnp.int32) if entry0 is None else jnp.reshape(
@@ -432,7 +453,7 @@ def fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
         entries, _, _, _, it = c
         raw, syms, exits = _fused_scan_pass(xs, t_fused, entries, m, mt, s)
         if packed:
-            vals = pack_fused_rows(raw, syms.astype(jnp.int32), m)
+            vals = pack_fused_rows_masked(raw, syms, n_valid, m)
         else:
             vals = jnp.concatenate(
                 [raw[:, None, :], syms.astype(jnp.int32)], axis=1
@@ -459,20 +480,21 @@ def build_fused(fsm: ByteFsm):
 
 
 def run_fused_decode(cols, table_T, t_fused, n_real_lanes, m: int, mt: int,
-                     s: int, packed: bool = False, entry0=None):
+                     s: int, packed: bool = False, entry0=None,
+                     n_valid=None):
     """Dispatch the one-pass decode to the Pallas kernel on real TPUs, the
-    XLA scan elsewhere. Returns (vals int32[K, m+1, lanes] — [K, lanes]
-    when ``packed`` — exits int32[lanes], unconverged). Raises ValueError
-    on Pallas-tile-incompatible shapes (callers fall back to the two-pass
-    path)."""
+    XLA scan elsewhere. Returns (vals int32[K, m+1, lanes] — MASKED
+    [K, lanes] words when ``packed``, which requires ``n_valid`` — exits
+    int32[lanes], unconverged). Raises ValueError on Pallas-tile-
+    incompatible shapes (callers fall back to the two-pass path)."""
     if _use_pallas():
         from .pallas_fsm8 import fsm8_decode_fused_pallas
 
         return fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes,
                                         m, mt, s, packed=packed,
-                                        entry0=entry0)
+                                        entry0=entry0, n_valid=n_valid)
     return fsm8_decode_fused(cols, table_T, t_fused, n_real_lanes, m, mt, s,
-                             packed=packed, entry0=entry0)
+                             packed=packed, entry0=entry0, n_valid=n_valid)
 
 
 def _sub_width(k: int, sub: int | None) -> int:
@@ -483,31 +505,85 @@ def _sub_width(k: int, sub: int | None) -> int:
     return s if k % s == 0 else k
 
 
+def packed_counts_inv(words, m: int):
+    """counts int32[K, lanes] and inv bool[K, lanes] straight off MASKED
+    packed fused words (``word >> 8m`` is 0 for padding bytes, 16 for
+    invalid transitions, the symbol count otherwise) — no unpack, no
+    position grid, no re-mask."""
+    raw = jax.lax.shift_right_logical(words, 8 * m)
+    return raw & 15, raw >= 16
+
+
 @partial(jax.jit, static_argnames=("m", "sub"))
-def packed_mini_totals(words, n_valid, m: int, sub: int | None = None):
-    """Per-(subgroup, lane) symbol totals straight from packed fused words
-    (the :func:`sym_cap` sizing reduce without materializing counts in
-    HBM). Returns int32[Gs, lanes]."""
+def packed_mini_totals(words, m: int, sub: int | None = None):
+    """Per-(subgroup, lane) symbol totals straight from MASKED packed fused
+    words (the :func:`sym_cap` sizing reduce without materializing counts
+    in HBM). Returns int32[Gs, lanes]."""
     k, lanes = words.shape
-    raw, _ = unpack_fused_rows(words, m)
-    pos = jnp.arange(lanes, dtype=jnp.int32)[None, :] * k + jnp.arange(
-        k, dtype=jnp.int32
-    )[:, None]
-    counts = jnp.where(pos < n_valid, raw & 15, 0)
+    counts, _ = packed_counts_inv(words, m)
     sb = _sub_width(k, sub)
     return jnp.sum(counts.reshape(k // sb, sb, lanes), axis=1)
 
 
 @partial(jax.jit, static_argnames=("m", "cap_sym", "sub"))
-def compact_symbols_packed(words, n_valid, m: int, cap_sym: int, pos0=0,
+def compact_symbols_packed(words, m: int, cap_sym: int,
                            sub: int | None = None):
-    """Packed fused words -> compacted symbol plane: unpack (elementwise
-    shifts, fused by XLA into the compaction's key build — no [K, m+1,
-    lanes] intermediate ever hits HBM) + real-byte mask + the per-subgroup
-    sort of :func:`compact_symbols_device`. Same returns."""
-    raw, syms = unpack_fused_rows(words, m)
-    counts, inv, syms = _expand_mask(raw, syms, n_valid, m, pos0)
+    """MASKED packed fused words -> compacted symbol plane via the
+    per-subgroup sort of :func:`compact_symbols_device` (the host-fetch /
+    DCN layout: cap slack there is interconnect bandwidth, so subgroups
+    stay wide — on-device consumers use :func:`compact_symbols_dense`
+    instead). Same returns as :func:`compact_symbols_device`."""
+    counts, inv = packed_counts_inv(words, m)
+    _, syms = unpack_fused_rows(words, m)
     return compact_symbols_device(counts, inv, syms, m, cap_sym, sub=sub)
+
+
+def _masked_meta(counts, inv):
+    """Per-lane (lane_tot, w_inv) from per-byte counts/inv WITHOUT a
+    K-long cumsum: two-level hierarchical prefix (measured on v5e the flat
+    ``jnp.cumsum`` over [512, lanes] costs more than the whole fused
+    pass). w_inv = symbols emitted before the lane's first invalid byte,
+    1 << 30 when none (:func:`validate_chunk_meta`'s sentinel)."""
+    k, lanes = counts.shape
+    g2 = 8 if k % 8 == 0 else 1
+    c3 = counts.reshape(k // g2, g2, lanes)
+    cums = jnp.cumsum(c3, axis=1) - c3
+    mini = cums[:, -1, :] + c3[:, -1, :]
+    g_start = jnp.cumsum(mini, axis=0) - mini
+    lane_tot = g_start[-1] + mini[-1]
+    big = jnp.int32(1 << 30)
+    inv3 = inv.reshape(k // g2, g2, lanes)
+    w_inv = jnp.where(inv3, g_start[:, None, :] + cums, big).min(axis=(0, 1))
+    return lane_tot, w_inv
+
+
+@partial(jax.jit, static_argnames=("m",))
+def compact_symbols_dense(words, m: int):
+    """MASKED packed fused words -> the DENSE symbol plane: row ``k*m + j``
+    of the plane is byte ``m-1-j`` of word ``k`` verbatim, mini_tot is the
+    per-byte count — i.e. subgroup width 1, cap = m, and NO reorder at all.
+    Dead slots carry table garbage; every consumer (extraction, checksum)
+    gates on mini_tot, so nothing ever reads them. This is the on-device
+    consumer's default: the per-subgroup sort exists to cut plane slack
+    for host/DCN fetches, but on the 5.2 MB text corpus the swept cap
+    equals the full subgroup anyway (zero slack saved) while the sort +
+    remask epilogue cost 3.1 ms against this path's ~0.2 ms
+    (benchmarks/probe_compact_dec, v5e). Returns (plane uint8[K*m, lanes],
+    mini_tot int32[K, lanes], lane_tot int32[lanes], w_inv int32[lanes],
+    1 << 30 = none)."""
+    k, lanes = words.shape
+    counts, inv = packed_counts_inv(words, m)
+    plane = jnp.stack(
+        [
+            (jax.lax.shift_right_logical(words, 8 * (m - 1 - j)) & 255).astype(
+                jnp.uint8
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    ).reshape(k * m, lanes)
+    lane_tot, w_inv = _masked_meta(counts, inv)
+    return plane, counts, lane_tot, w_inv
 
 
 def expand_pass_split(cols, states, t_split, n_valid, m: int, mt: int, pos0=0):
@@ -615,14 +691,16 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
         # subgroup positions must survive the << 8 pack without touching
         # the sign bit
         raise ValueError(f"sub_bytes*m = {sg} exceeds the 2^22 sort bound")
-    big = jnp.int32(1 << 30)
-    cumk = jnp.cumsum(counts, axis=0) - counts  # symbols before byte k, per lane
-    lane_tot = cumk[-1] + counts[-1]
-    w_inv = jnp.where(inv, cumk, big).min(axis=0)  # [lanes]
-
     c3 = counts.reshape(gs, sb, lanes)
     cums = jnp.cumsum(c3, axis=1) - c3  # symbols before byte, per subgroup
     mini_tot = cums[:, -1, :] + c3[:, -1, :]  # [Gs, lanes]
+    # lane totals + first-invalid offsets from the subgroup hierarchy (a
+    # flat K-long cumsum costs more than the fused decode pass on v5e)
+    big = jnp.int32(1 << 30)
+    g_start = jnp.cumsum(mini_tot, axis=0) - mini_tot  # [Gs, lanes]
+    lane_tot = g_start[-1] + mini_tot[-1]
+    inv3 = inv.reshape(gs, sb, lanes)
+    w_inv = jnp.where(inv3, g_start[:, None, :] + cums, big).min(axis=(0, 1))
 
     # ONE word per slot — (position << 8) | symbol — so the sort moves half
     # the bytes a (key, value) pair sort would; dead slots carry position
@@ -701,7 +779,16 @@ def plane_checksum(plane, mini_tot, lane_tot, cap_sym: int, n_sym: int,
     gs = mini_tot.shape[0]
     pl3 = plane.reshape(gs, cap_sym, -1)
     lane_start = (jnp.cumsum(lane_tot) - lane_tot)[None, None, :]
-    mini_start = (jnp.cumsum(mini_tot, axis=0) - mini_tot)[:, None, :]
+    if gs % 8 == 0:
+        # two-level exclusive prefix: the dense plane's gs = K makes a flat
+        # cumsum here as costly as the K-long one _masked_meta avoids
+        m3 = mini_tot.reshape(gs // 8, 8, -1)
+        inner = jnp.cumsum(m3, axis=1) - m3
+        outer_tot = inner[:, -1, :] + m3[:, -1, :]
+        outer = jnp.cumsum(outer_tot, axis=0) - outer_tot
+        mini_start = (outer[:, None, :] + inner).reshape(gs, 1, -1)
+    else:
+        mini_start = (jnp.cumsum(mini_tot, axis=0) - mini_tot)[:, None, :]
     j = jnp.arange(cap_sym, dtype=jnp.int32)[None, :, None]
     pos_l = lane_start + mini_start + j  # plane-local symbol order
     live = (
@@ -807,8 +894,10 @@ def decode_body_device_full(
         # One-pass decode: a single fused kernel emits the packed symbol
         # rows directly (no separate emit pass, no state HBM round-trip).
         # For m <= 3 the whole per-byte row rides ONE int32 word (packed
-        # mode): 1/(m+1) of the kernel's HBM writes, and the compaction
-        # unpacks it with fused shifts.
+        # mode), MASKED in-kernel — the dense compaction then reads the
+        # plane bytes verbatim: no sizing fetch, no cap-keyed recompiles,
+        # no sort (benchmarks/probe_compact_dec: the sort+remask epilogue
+        # cost 3.1 ms vs ~0.3 ms for this on a 5.2 MB body, v5e).
         t_fused, m, mt, s = build_fused(fsm)
         packed = m <= 3 and os.environ.get("ENTREEPY_FUSED_PACKED", "1") == "1"
         try:
@@ -817,16 +906,17 @@ def decode_body_device_full(
                 vals, _exits, unconverged = run_fused_decode(
                     cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real_lanes),
                     m, mt, s, packed=packed,
+                    n_valid=jnp.int32(buf.size) if packed else None,
                 )
             if not bool(unconverged):
                 with phase("device_expand", n_symbols):
                     if packed:
-                        nv = jnp.int32(buf.size)
-                        mini = packed_mini_totals(vals, nv, m)
-                        cap_sym = packed_sym_cap(mini, m, chunk_bytes)
-                        compacted = compact_symbols_packed(
-                            vals, nv, m, cap_sym
+                        plane, mini_tot, lane_tot, w_inv = (
+                            compact_symbols_dense(vals, m)
                         )
+                        # counts <= m <= 3: fetch the mini totals as uint8
+                        compacted = (plane, mini_tot.astype(jnp.uint8),
+                                     lane_tot, w_inv)
                     else:
                         counts, inv, syms = _expand_mask(
                             vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8),
@@ -950,58 +1040,79 @@ def decode_body_device_tiled(
     tbl = _table_T_bf16(fsm)
 
     planes, minis, lane_tots, w_invs = [], [], [], []
-    entry0 = None  # tile 0 starts at the root
-    l0 = 0
-    while l0 < lanes:
-        tl = min(t_lanes, lanes - l0)
-        real_t = min(max(n_real_lanes - l0, 0), tl)
-        pad_t = np.zeros(tl * chunk_bytes, np.uint8)
-        seg = buf[l0 * chunk_bytes : (l0 + tl) * chunk_bytes]
-        pad_t[: seg.size] = seg
-        with phase("device_fsm8_decode", n_symbols):
-            cols_t = bytes_to_cols(pad_t, tl, chunk_bytes)
-            vals, exits, unconverged = run_fused_decode(
-                cols_t, tbl, t_fused, jnp.int32(real_t), m, mt, s,
-                packed=packed, entry0=entry0,
-            )
-        if bool(unconverged):
-            from .. import format as _fmt
 
-            lut = _fmt.build_decode_lut(table)
-            out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
-            _check_stream_bits(out, table.lengths, buf.size)
-            return out
-        with phase("device_expand", n_symbols):
-            # Local coordinates: the real-byte mask (pos0 + local < n_valid)
-            # is (local < n_valid - pos0), with the bound computed host-side
-            # in Python ints — device positions stay tile-local, so int32
-            # never wraps no matter how large the body is (>= 2 GiB bodies
-            # would overflow global int32 positions).
-            nv_t = jnp.int32(
-                min(max(buf.size - l0 * chunk_bytes, 0), tl * chunk_bytes)
-            )
-            if packed:
-                mini = packed_mini_totals(vals, nv_t, m)  # tiny sizing fetch
-                cap_sym = packed_sym_cap(mini, m, chunk_bytes)
-                plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
-                    vals, nv_t, m, cap_sym
-                )
-            else:
-                counts, inv, syms = _expand_mask(
-                    vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv_t, m
-                )
-                cap_sym = sym_cap(counts, m)
-                plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
-                    counts, inv, syms, m, cap_sym
-                )
+    def drain(tile) -> bool:
+        """Fetch one tile's device results (False = its self-sync failed)."""
+        plane, mini_tot, lane_tot, w_inv, unconverged = tile
+        if bool(unconverged):
+            return False
         with phase("device_sym_fetch", n_symbols):
             planes.append(np.asarray(plane))
             minis.append(np.asarray(mini_tot, dtype=np.int64))
             lane_tots.append(np.asarray(lane_tot, dtype=np.int64))
             w_invs.append(np.asarray(w_inv, dtype=np.int64))
+        return True
+
+    # Depth-2 pipeline: tile t+1's decode+compaction launches BEFORE tile
+    # t's results are fetched, so the host-side D2H of tile t overlaps tile
+    # t+1's device compute (entry chaining is a device scalar — no host
+    # sync anywhere in the launch train; the packed path has no sizing
+    # fetch either, its dense-plane cap is statically m).
+    pending = None
+    failed = False
+    entry0 = None  # tile 0 starts at the root
+    l0 = 0
+    while l0 < lanes and not failed:
+        tl = min(t_lanes, lanes - l0)
+        real_t = min(max(n_real_lanes - l0, 0), tl)
+        pad_t = np.zeros(tl * chunk_bytes, np.uint8)
+        seg = buf[l0 * chunk_bytes : (l0 + tl) * chunk_bytes]
+        pad_t[: seg.size] = seg
+        # Local coordinates: the real-byte mask bound is computed host-side
+        # in Python ints — device positions stay tile-local, so int32 never
+        # wraps no matter how large the body is (>= 2 GiB bodies would
+        # overflow global int32 positions).
+        nv_t = jnp.int32(
+            min(max(buf.size - l0 * chunk_bytes, 0), tl * chunk_bytes)
+        )
+        with phase("device_fsm8_decode", n_symbols):
+            cols_t = bytes_to_cols(pad_t, tl, chunk_bytes)
+            vals, exits, unconverged = run_fused_decode(
+                cols_t, tbl, t_fused, jnp.int32(real_t), m, mt, s,
+                packed=packed, entry0=entry0,
+                n_valid=nv_t if packed else None,
+            )
+        with phase("device_expand", n_symbols):
+            if packed:
+                plane, mini_tot, lane_tot, w_inv = compact_symbols_dense(
+                    vals, m
+                )
+                mini_tot = mini_tot.astype(jnp.uint8)  # counts <= m <= 3
+            else:
+                counts, inv, syms = _expand_mask(
+                    vals[:, 0, :], vals[:, 1:, :].astype(jnp.uint8), nv_t, m
+                )
+                cap_sym = sym_cap(counts, m)  # sizing fetch (legacy rows)
+                plane, mini_tot, lane_tot, w_inv = compact_symbols_device(
+                    counts, inv, syms, m, cap_sym
+                )
+        if pending is not None:
+            failed = not drain(pending)
+        pending = (plane, mini_tot, lane_tot, w_inv, unconverged)
         if l0 + tl < lanes:
             entry0 = exits[real_t - 1] if real_t > 0 else exits[tl - 1]
         l0 += tl
+    if not failed and pending is not None:
+        failed = not drain(pending)
+    if failed:
+        # Pathologically periodic streams can defeat chunk self-sync; the
+        # exact serial host decoder is the always-correct fallback.
+        from .. import format as _fmt
+
+        lut = _fmt.build_decode_lut(table)
+        out = _fmt.unpack_body_host(buf.tobytes(), lut, n_symbols)
+        _check_stream_bits(out, table.lengths, buf.size)
+        return out
 
     return assemble_symbol_planes(
         planes, minis, lane_tots, w_invs, n_symbols, table, buf.size

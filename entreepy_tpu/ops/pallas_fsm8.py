@@ -417,7 +417,8 @@ K_TILE_FUSED = int(os.environ.get("ENTREEPY_FUSED_KT", "64"))
 UNROLL_FUSED = int(os.environ.get("ENTREEPY_FUSED_UNROLL", "16"))
 
 
-def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
+def _fused_kernel(m: int, mt: int, s: int, packed: bool = False,
+                  k_total: int = 0, mask: bool = True):
     """One-pass decode kernel (table: format.fsm8.fused_decode_tensors):
     ONE [256, 2s+9(mt+2)] one-hot contraction per byte drives BOTH the
     serial state chain and the symbol emission. Per byte: masked s-reduce
@@ -426,10 +427,23 @@ def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
     (count|16*invalid, symbol slots) rows of _expand_kernel — or, when
     ``packed`` (m <= 3), ONE int32 row per byte holding
     ``row0 << 8m | slot0 << 8(m-1) | ...`` (5 + 8m <= 29 bits): 1/(m+1) of
-    the HBM writes and while-loop carry."""
+    the HBM writes and while-loop carry.
+
+    Packed rows carry a MASKED count byte: bytes at-or-past ``nv_ref`` (the
+    lane-linear valid-byte bound, i.e. padding) emit ``row0 = 0`` so
+    downstream consumers read counts/invalid straight off ``word >> 8m``
+    with NO position grid or re-mask — measured on v5e that XLA epilogue
+    cost ~1.9 ms on a 5.2 MB body, 2.6x the fused pass itself
+    (benchmarks/probe_compact_dec). Symbol slot bytes are NOT masked (dead
+    slots carry table garbage): every consumer gates extraction on the
+    count, so zeroing them in-kernel would buy nothing — an earlier
+    variant that did (plus per-slot masking) cost +2 ms of kernel time.
+    The mask itself is one hoisted [1, lt] threshold compare + one select
+    per byte."""
     n_p = N_P
 
-    def kernel(x_ref, tbl_ref, entries_ref, out_ref, exits_ref, state_ref):
+    def kernel(x_ref, tbl_ref, entries_ref, nv_ref, out_ref, exits_ref,
+               state_ref):
         i_l = pl.program_id(0)
         i_k = pl.program_id(1)
         n_k = pl.num_programs(1)
@@ -442,6 +456,14 @@ def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
         b_col = jax.lax.broadcasted_iota(jnp.int32, (N_INPUT, lt), 0)
         s_col = jax.lax.broadcasted_iota(jnp.int32, (s, lt), 0)
         p_col = jax.lax.broadcasted_iota(jnp.int32, (n_p, lt), 0)
+        if packed and mask:
+            # per-lane threshold: byte k of this cell is real iff
+            # k < nv - lane*K - i_k*kt (lane-linear positions, matching the
+            # scan twin's mask in pack_fused_rows_masked); hoisted so the
+            # per-byte cost is one scalar-vs-vector compare + one select
+            thresh = nv_ref[:] - (
+                i_l * lt + jax.lax.broadcasted_iota(jnp.int32, (1, lt), 1)
+            ) * k_total - i_k * kt
 
         def body(q, state):
             ds = []
@@ -464,6 +486,9 @@ def _fused_kernel(m: int, mt: int, s: int, packed: bool = False):
                     off = 2 * s + (1 + j) * n_p
                     slots.append(_mask_reduce(d, mask_p, off0, off, off + n_p))
                 if packed:
+                    if mask:
+                        real = (q * UNROLL_FUSED + u) < thresh
+                        row0 = jnp.where(real, row0, 0)
                     word = row0 << (8 * m)
                     for j, sl in enumerate(slots):
                         word = word | (sl << (8 * (m - 1 - j)))
@@ -497,18 +522,26 @@ def fused_tileable(lanes: int, k: int) -> bool:
     return lanes % lt == 0 and k % kt == 0 and kt % UNROLL_FUSED == 0
 
 
-@partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "interpret"))
+@partial(jax.jit, static_argnames=("m", "mt", "s", "packed", "mask",
+                                   "interpret"))
 def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
-                       packed: bool = False, interpret: bool = False):
+                       packed: bool = False, n_valid=None, mask: bool = True,
+                       interpret: bool = False):
     """One full one-pass decode sweep: xs int32[K, lanes] byte rows, t_fused
     bf16[256, 2s+9(mt+2)] (format.fsm8.fused_decode_tensors), entries
     int32[lanes]. Returns (vals, exits int32[lanes]); vals is int32
     [K, m+1, lanes] — the expand_pass_pallas8 packed layout — or, when
     ``packed`` (m <= 3 only), ONE int32 word per byte [K, lanes] holding
-    ``row0 << 8m | slot_j << 8(m-1-j)`` — 1/(m+1) of the HBM writes."""
+    ``row0 << 8m | slot_j << 8(m-1-j)`` — 1/(m+1) of the HBM writes,
+    MASKED in-kernel (dead slots zero; bytes at lane-linear positions >=
+    ``n_valid`` all-zero — required in packed mode)."""
     k, lanes = xs.shape
     if packed and m > 3:
         raise ValueError(f"packed fused rows need 5 + 8m <= 29 bits (m={m})")
+    if packed and mask and n_valid is None:
+        raise ValueError("packed fused rows are masked in-kernel: pass "
+                         "n_valid (the lane-linear valid-byte bound); "
+                         "mask=False is a probe-only escape hatch")
     t_fused = to_kernel_table(t_fused)
     lt = min(LANE_TILE, lanes)
     kt = min(K_TILE_FUSED, k)
@@ -516,13 +549,17 @@ def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
         raise ValueError(f"lanes={lanes} k={k} not tileable to ({lt},{kt})")
     grid = (lanes // lt, k // kt)
     rows = 1 if packed else m + 1
+    nv = jnp.reshape(
+        jnp.int32(0) if n_valid is None else n_valid, (1, 1)
+    ).astype(jnp.int32)
     out, exits = pl.pallas_call(
-        _fused_kernel(m, mt, s, packed=packed),
+        _fused_kernel(m, mt, s, packed=packed, k_total=k, mask=mask),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kt, lt), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fused table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # entries, whole array
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n_valid (1,1)
         ],
         out_specs=(
             pl.BlockSpec(
@@ -536,7 +573,7 @@ def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
         ),
         scratch_shapes=[pltpu.VMEM((1, lt), jnp.int32)],
         interpret=interpret,
-    )(xs, t_fused, entries.reshape(lanes // lt, lt))
+    )(xs, t_fused, entries.reshape(lanes // lt, lt), nv)
     if packed:
         return out, exits.reshape(lanes)
     return out.reshape(k, m + 1, lanes), exits.reshape(lanes)
@@ -547,14 +584,16 @@ def fused_pass_pallas8(xs, t_fused, entries, m: int, mt: int, s: int,
 def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
                              mt: int, s: int, packed: bool = False,
                              max_passes: int | None = None,
-                             interpret: bool = False, entry0=None):
+                             interpret: bool = False, entry0=None,
+                             n_valid=None):
     """One-pass Pallas decode: cols int32[lanes, K] -> (vals int32
     [K, m+1, lanes] packed symbol rows — or [K, lanes] one-word rows when
-    ``packed`` — exits int32[lanes], unconverged bool). The suffix sync
-    uses the narrow [256, S] sync table; the fixed-point loop runs whole
-    fused passes (typically exactly one — the suffix guess is near-exact).
-    ``entry0`` pins the first lane's entry state (default 0 = stream
-    start; body tiles chain the previous tile's last exit here)."""
+    ``packed``, masked in-kernel (``n_valid`` required) — exits
+    int32[lanes], unconverged bool). The suffix sync uses the narrow
+    [256, S] sync table; the fixed-point loop runs whole fused passes
+    (typically exactly one — the suffix guess is near-exact). ``entry0``
+    pins the first lane's entry state (default 0 = stream start; body
+    tiles chain the previous tile's last exit here)."""
     from .decode8 import MAX_SYNC_PASSES, SYNC_WINDOW
 
     lanes, k = cols.shape
@@ -580,7 +619,8 @@ def fsm8_decode_fused_pallas(cols, table_T, t_fused, n_real_lanes, m: int,
     def body(c):
         entries, _, _, _, it = c
         vals, exits = fused_pass_pallas8(
-            xs, t_fused, entries, m, mt, s, packed=packed, interpret=interpret
+            xs, t_fused, entries, m, mt, s, packed=packed, n_valid=n_valid,
+            interpret=interpret
         )
         new_entries = jnp.concatenate([e0, exits[:-1]])
         return new_entries, entries, vals, exits, it + 1

@@ -362,7 +362,8 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
     ``packed`` — sharded on lanes, and per-shard unconverged bools)."""
 
     @partial(jax.jit, static_argnames=("max_passes",))
-    def f(cols, table_T, t_fused, n_real_lanes, max_passes=MAX_SYNC_PASSES):
+    def f(cols, table_T, t_fused, n_real_lanes, n_valid,
+          max_passes=MAX_SYNC_PASSES):
         n_dev = mesh.devices.size
         lanes, k = cols.shape
         lanes_local = lanes // n_dev
@@ -370,21 +371,22 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
         if _use_pallas() and lanes_local % LANE_TILE == 0:
             from ..ops.pallas_fsm8 import fused_pass_pallas8, sync_pass_pallas8
 
-            def full_pass(xs, tf, entries_local):
+            def full_pass(xs, tf, entries_local, nv_local):
                 vals, exits = fused_pass_pallas8(
-                    xs, tf, entries_local, m, mt, s, packed=packed
+                    xs, tf, entries_local, m, mt, s, packed=packed,
+                    n_valid=nv_local if packed else None,
                 )
                 return exits, vals
 
             def suffix_pass(xs_suffix, zeros):
                 return sync_pass_pallas8(xs_suffix, table_T, zeros)
         else:
-            from ..ops.decode8 import _fused_scan_pass, pack_fused_rows
+            from ..ops.decode8 import _fused_scan_pass, pack_fused_rows_masked
 
-            def full_pass(xs, tf, entries_local):
+            def full_pass(xs, tf, entries_local, nv_local):
                 raw, syms, exits = _fused_scan_pass(xs, tf, entries_local, m, mt, s)
                 if packed:
-                    vals = pack_fused_rows(raw, syms.astype(jnp.int32), m)
+                    vals = pack_fused_rows_masked(raw, syms, nv_local, m)
                 else:
                     vals = jnp.concatenate(
                         [raw[:, None, :], syms.astype(jnp.int32)], axis=1
@@ -395,10 +397,13 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
                 exits, _ = _scan_pass(xs_suffix, table_T, zeros, False)
                 return exits
 
-        def local(cols_l, table_T_, t_fused_, n_real_lanes_):
+        def local(cols_l, table_T_, t_fused_, n_real_lanes_, n_valid_):
             xs = cols_l.T  # [K, lanes_local]
             my = jax.lax.axis_index(axis) * lanes_local
             real = jnp.arange(lanes, dtype=jnp.int32) < n_real_lanes_[0]
+            # Packed rows mask in shard-LOCAL lane-linear coordinates: the
+            # shard's bound is the global one shifted by its lane base.
+            nv_local = n_valid_[0] - my * k
 
             w = min(SYNC_WINDOW, k)
             sfx_local = suffix_pass(xs[k - w :], jnp.zeros(lanes_local, jnp.int32))
@@ -414,7 +419,7 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
             def body(c):
                 entries, _, _, it = c
                 mine = jax.lax.dynamic_slice(entries, (my,), (lanes_local,))
-                exits_local, vals = full_pass(xs, t_fused_, mine)
+                exits_local, vals = full_pass(xs, t_fused_, mine, nv_local)
                 exits = jax.lax.all_gather(exits_local, axis, tiled=True)
                 new_entries = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
                 return new_entries, entries, vals, it + 1
@@ -430,13 +435,13 @@ def _decode_fused_fn(mesh: Mesh, axis: str, m: int, mt: int, s: int,
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(axis)),
+            in_specs=(P(axis), P(), P(), P(axis), P(axis)),
             out_specs=(
                 P(None, axis) if packed else P(None, None, axis),
                 P(axis),
             ),
             check_vma=False,
-        )(cols, table_T, t_fused, n_real_lanes)
+        )(cols, table_T, t_fused, n_real_lanes, n_valid)
 
     return f
 
@@ -461,6 +466,7 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
         vals, unconverged = _decode_fused_fn(mesh, axis, m, mt, s, packed)(
             cols, _table_T_bf16(fsm), t_fused,
             jnp.full((n_dev,), n_real_lanes, dtype=jnp.int32),
+            jnp.full((n_dev,), buf.size, dtype=jnp.int32),
         )
     except ValueError:  # tile-incompatible chunk size: two-pass fallback
         return None
@@ -477,10 +483,10 @@ def _decode_expand_onepass(mesh, axis, cols, buf, fsm, table, n_symbols,
     # Wider subgroups than the on-device default: this plane crosses
     # D2H (and DCN on pods), so cap slack is fetched bandwidth here.
     if packed:
-        mini = packed_mini_totals(vals, nv, m, sub=SUB_BYTES_FETCH)
+        mini = packed_mini_totals(vals, m, sub=SUB_BYTES_FETCH)
         cap_sym = packed_sym_cap(mini, m, k, sub=SUB_BYTES_FETCH)
         plane, mini_tot, lane_tot, w_inv = compact_symbols_packed(
-            vals, nv, m, cap_sym, sub=SUB_BYTES_FETCH
+            vals, m, cap_sym, sub=SUB_BYTES_FETCH
         )
     else:
         counts, inv, syms = _expand_mask(

@@ -507,8 +507,10 @@ def test_expand_mode_env_knobs(monkeypatch, macbeth):
 
 
 def test_onepass_packed_matches_unpacked(midsummer):
-    """Packed one-word rows must unpack to exactly the unpacked fused rows,
-    and the packed compaction must produce the same plane."""
+    """MASKED packed one-word rows must carry exactly the unpacked fused
+    rows' masked counts/invalid/live-slots, the packed compaction must
+    produce the unpacked path's plane, and the dense compaction must
+    round-trip the same bytes with counts as its mini totals."""
     import jax.numpy as jnp
 
     from entreepy_tpu.format import compress_host, parse_header
@@ -529,31 +531,47 @@ def test_onepass_packed_matches_unpacked(midsummer):
     t_fused, m, mt, s = decode8.build_fused(fsm)
     assert m <= 3  # text corpus: packed mode applies
 
+    nv = jnp.int32(buf.size)
     v_u, _, u1 = decode8.fsm8_decode_fused(cols, tbl, t_fused,
                                            jnp.int32(lanes), m, mt, s)
     v_p, _, u2 = decode8.fsm8_decode_fused(cols, tbl, t_fused,
                                            jnp.int32(lanes), m, mt, s,
-                                           packed=True)
+                                           packed=True, n_valid=nv)
     assert not bool(u1) and not bool(u2)
-    raw, syms = decode8.unpack_fused_rows(v_p, m)
-    assert np.array_equal(np.asarray(raw), np.asarray(v_u[:, 0, :]))
-    assert np.array_equal(
-        np.asarray(syms), np.asarray(v_u[:, 1:, :]).astype(np.uint8)
-    )
-
-    nv = jnp.int32(buf.size)
     counts, inv, sy = decode8._expand_mask(
         v_u[:, 0, :], v_u[:, 1:, :].astype(jnp.uint8), nv, m
     )
+    counts_p, inv_p = decode8.packed_counts_inv(v_p, m)
+    assert np.array_equal(np.asarray(counts_p), np.asarray(counts))
+    assert np.array_equal(np.asarray(inv_p), np.asarray(inv))
+    # slot bytes ride verbatim (dead slots incl. garbage — consumers gate
+    # on the count byte)
+    _, syms_p = decode8.unpack_fused_rows(v_p, m)
+    assert np.array_equal(
+        np.asarray(syms_p), np.asarray(v_u[:, 1:, :]).astype(np.uint8)
+    )
+
     cap = decode8.sym_cap(counts, m)
     want = decode8.compact_symbols_device(counts, inv, sy, m, cap)
-    got = decode8.compact_symbols_packed(v_p, nv, m, cap)
+    got = decode8.compact_symbols_packed(v_p, m, cap)
     for g, w in zip(got, want):
         assert np.array_equal(np.asarray(g), np.asarray(w))
     out = decode8.assemble_symbol_plane(
         *got, hdr.body_len, hdr.table, buf.size
     )
     assert bytes(out) == data
+
+    # dense compaction: same bytes, per-byte counts as mini totals, and
+    # identical lane metadata
+    plane_d, mini_d, lt_d, wi_d = decode8.compact_symbols_dense(v_p, m)
+    assert np.array_equal(np.asarray(mini_d), np.asarray(counts))
+    assert np.array_equal(np.asarray(lt_d), np.asarray(want[2]))
+    assert np.array_equal(np.asarray(wi_d), np.asarray(want[3]))
+    out_d = decode8.assemble_symbol_plane(
+        plane_d, mini_d.astype(jnp.uint8), lt_d, wi_d,
+        hdr.body_len, hdr.table, buf.size
+    )
+    assert bytes(out_d) == data
 
 
 def test_onepass_packed_env_knob(monkeypatch, macbeth):
@@ -713,15 +731,15 @@ def test_plane_checksum_matches_host(midsummer):
     padded[: buf.size] = buf
     cols = bytes_to_cols(padded, n_real, chunk)
     t_fused, m, mt, s = build_fused(fsm)
+    nv = jnp.int32(buf.size)
     vals, _x, u = run_fused_decode(
         cols, _table_T_bf16(fsm), t_fused, jnp.int32(n_real), m, mt, s,
-        packed=True,
+        packed=True, n_valid=nv,
     )
     assert not bool(u)
-    nv = jnp.int32(buf.size)
-    mini = packed_mini_totals(vals, nv, m)
+    mini = packed_mini_totals(vals, m)
     cap = packed_sym_cap(mini, m, chunk)
-    plane, mt_, lt, wi = compact_symbols_packed(vals, nv, m, cap)
+    plane, mt_, lt, wi = compact_symbols_packed(vals, m, cap)
     darr = np.frombuffer(data, np.uint8)
     chk, tot = plane_checksum(plane, mt_, lt, cap, len(data))
     exp = plane_checksum_host(darr, 0, int(tot), len(data))
@@ -730,3 +748,11 @@ def test_plane_checksum_matches_host(midsummer):
     chk2, _ = plane_checksum(plane, mt_, lt, cap, len(data) // 2, start=0)
     exp2 = plane_checksum_host(darr, 0, int(tot), len(data) // 2)
     assert int(chk2) & 0xFFFFFFFF == exp2 & 0xFFFFFFFF
+    # the dense plane (cap = m, per-byte mini totals) must checksum
+    # identically — same symbols, same stream order
+    from entreepy_tpu.ops.decode8 import compact_symbols_dense
+
+    plane_d, mini_d, lt_d, wi_d = compact_symbols_dense(vals, m)
+    chk_d, tot_d = plane_checksum(plane_d, mini_d, lt_d, m, len(data))
+    assert int(tot_d) == int(tot)
+    assert int(chk_d) & 0xFFFFFFFF == exp & 0xFFFFFFFF

@@ -85,11 +85,16 @@ def test_fused_pallas_interpret_matches_scan(midsummer):
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
     assert np.array_equal(np.asarray(x1), np.asarray(x2))
 
-    # packed one-word rows: Pallas interpret == scan twin, bit for bit
+    # packed one-word rows (masked in-kernel): Pallas interpret == scan
+    # twin, bit for bit — n_valid short of the padded size exercises the
+    # in-kernel padding mask on both sides
+    nv = jnp.int32(cols.size - 5)
     p1, _, pu1 = fsm8_decode_fused(cols, _table_T_bf16(fsm), t_fused,
-                                   jnp.int32(n_real), m, mt, s, packed=True)
+                                   jnp.int32(n_real), m, mt, s, packed=True,
+                                   n_valid=nv)
     p2, _, pu2 = fsm8_decode_fused_pallas(cols, _table_T_bf16(fsm), t_fused,
                                           jnp.int32(n_real), m, mt, s,
-                                          packed=True, interpret=True)
+                                          packed=True, n_valid=nv,
+                                          interpret=True)
     assert bool(pu1) == bool(pu2) is False
     assert np.array_equal(np.asarray(p1), np.asarray(p2))

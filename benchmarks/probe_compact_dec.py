@@ -1,21 +1,27 @@
 #!/usr/bin/env python3
 """Interleaved A/B of decode-compaction formulations on the real chip.
 
-The r5 stage probe attributes ~78% of the on-device decode e2e to
-compaction (fused 0.71 ms -> +compact 2.92 ms -> +checksum 0.11 ms on
-5.2 MB), so this probes three formulations of compact_symbols_packed's
-work on the SAME fused-decode output, all inside the same jit shape as the
-e2e program (fused kernel included so fusion context matches):
+The r5 stage probe attributed ~78% of the on-device decode e2e to the
+compaction epilogue (fused 0.71 ms -> +compact 2.92 ms -> +checksum
+0.11 ms on 5.2 MB). This probe compares formulations of that epilogue on
+the SAME fused-decode output, all inside the same jit shape as the e2e
+program (fused kernel included so fusion context matches):
 
-  cur   current: K-axis cumsum metadata + per-subgroup int16 sort
-  hier  metadata from the subgroup hierarchy (sb-long + Gs-long cumsums
-        replace the K=512-long one); sort unchanged
-  msum  hier metadata + masked-sum compaction: plane[c] = sum_s syms[s] *
-        [pos[s]==c] over the sg slots -- no sort anywhere; exactness by
-        uniqueness of live positions within a subgroup
+  cur    r4 production: K-axis cumsum metadata + per-subgroup int16 sort
+  msum2  hierarchical metadata + masked-sum compaction at 2-byte subgroups
+  sel2   same plane via unrolled static select-chains (no one-hot)
+  dense  NO reorder: plane = the per-byte slots, mini_tot = counts
+  base   floor: fused + unpack/mask only (no compaction at all)
 
-All three must produce the identical plane (asserted via the position-
-weighted checksum against the host anchor). Timings are burst-differenced
+OUTCOME (v5e, 2026-08-19): cur 3.76 / msum2 3.25 / sel2 3.44 / dense 2.73
+/ base 2.62 ms -- i.e. the XLA unpack+remask epilogue (~1.9 ms), not the
+sort, dominated. This motivated the r5 redesign: the kernel masks the
+count byte in-kernel and compact_symbols_dense reads the plane straight
+off the packed words (see ops/decode8.py), taking the full e2e to
+~0.9-1.5 ms with SYNC_WINDOW=128. The probe is kept for future sweeps.
+
+All plane-producing variants must produce the identical checksum
+(asserted against the host anchor). Timings are burst-differenced
 marginals, variants interleaved in one process (CLAUDE.md: cross-process
 A/B is meaningless on this tunnel).
 

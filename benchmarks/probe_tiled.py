@@ -185,6 +185,27 @@ def main() -> int:
     int(r)
     t_null = time.perf_counter() - t0
 
+    # Per-tile COMPUTE via burst marginal (independent launches pipeline the
+    # tunnel's per-launch dispatch away): the pod-representative number —
+    # this environment's dispatch for a program this complex is ~30-40 ms,
+    # far above the null calibration, and dominates the serial stream time.
+    cols0, real0, nv0, _ = tiles[0]
+    st0 = jnp.int32(0)
+
+    def tile_burst(n):
+        rs = [tile_fn(cols0, jnp.int32(0), jnp.int32(nv0), jnp.int32(real0),
+                      st0) for _ in range(n)]
+        chk, tot, exits, unc = rs[-1]
+        return int(chk) + int(tot)
+
+    tile_burst(1)
+    t_tile = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); tile_burst(1); t1 = time.perf_counter()
+        tile_burst(5); t2 = time.perf_counter()
+        t_tile = min(t_tile, ((t2 - t1) - (t1 - t0)) / 4)
+    tile_out_mb = tile_tots[0] / 1e6
+
     results = {
         "corpus_MB": mb,
         "compressed_MB": round(buf.size / 1e6, 1),
@@ -197,6 +218,8 @@ def main() -> int:
         "stream_minus_dispatch_MBps": round(
             mb / max(t_best - t_null, 1e-9), 1
         ),
+        "tile_compute_ms": round(t_tile * 1e3, 1),
+        "tile_compute_MBps": round(tile_out_mb / t_tile, 1),
     }
     print(json.dumps(results))
     return 0

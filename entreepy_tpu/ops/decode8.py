@@ -45,7 +45,13 @@ from ..format.fsm8 import ByteFsm, build_byte_fsm
 from ..format.huffman import CodeTable
 
 DEFAULT_CHUNK_BYTES = 512
-SYNC_WINDOW = 64  # suffix bytes per chunk for the entry-state first guess
+# Suffix bytes per chunk for the entry-state first guess. ONE missed guess
+# anywhere forces a whole extra fused pass over every lane (the fixed point
+# re-runs full passes), so the window is sized for zero misses, not for
+# minimal sync work: on the 5.2 MB text corpus w=64 missed exactly 1 of
+# 5958 lanes (cost: +1.3 ms = a second full pass on chip) while w=128
+# missed none (cost: +0.16 ms of sync pass). Measured 2026-08-19 on v5e.
+SYNC_WINDOW = int(os.environ.get("ENTREEPY_SYNC_WINDOW", "128"))
 MAX_SYNC_PASSES = 24
 # Compaction subgroup width: narrow sorts are cheaper on TPU (sort networks
 # grow ~log^2 of sorted width). Interleaved same-process sweeps on v5e at

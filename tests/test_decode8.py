@@ -610,6 +610,44 @@ def test_tiled_decode_matches_untiled(midsummer):
         del os.environ["ENTREEPY_FUSED_PACKED"]
 
 
+def test_unconverged_self_sync_falls_back_to_host(monkeypatch, midsummer):
+    """If chunk self-sync reports unconverged (pathologically periodic
+    streams), both the untiled and the tiled device decodes must fall back
+    to the exact serial host decoder — including when only a MID-TRAIN
+    tile fails (the tiled path defers unconverged checks to fetch time)."""
+    import jax.numpy as jnp
+
+    import entreepy_tpu.ops.decode8 as d8
+
+    data = midsummer[:20000]
+    et = compress_host(data)
+    hdr = parse_header(et)
+    body = et[hdr.body_start :]
+
+    real_fn = d8.run_fused_decode
+    calls = {"n": 0}
+
+    def fail_all(*a, **k):
+        vals, exits, _ = real_fn(*a, **k)
+        return vals, exits, jnp.bool_(True)
+
+    monkeypatch.setattr(d8, "run_fused_decode", fail_all)
+    out = d8.decode_body_device_full(body, hdr.table, hdr.body_len,
+                                     chunk_bytes=64)
+    assert bytes(out) == data
+
+    def fail_second_tile(*a, **k):
+        vals, exits, u = real_fn(*a, **k)
+        calls["n"] += 1
+        return vals, exits, jnp.bool_(calls["n"] == 2)
+
+    monkeypatch.setattr(d8, "run_fused_decode", fail_second_tile)
+    out = d8.decode_body_device_tiled(body, hdr.table, hdr.body_len,
+                                      chunk_bytes=64, tile_lanes=64)
+    assert calls["n"] >= 2  # the train really had a failing mid tile
+    assert bytes(out) == data
+
+
 def test_tiled_decode_truncated_raises(midsummer):
     from entreepy_tpu.ops.decode8 import decode_body_device_tiled
 

@@ -15,7 +15,7 @@ tests, ``test.zig:7-33``: pure bytes-in/bytes-out functions):
     b'an example body of text'
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from .api import (  # noqa: E402
     compress,

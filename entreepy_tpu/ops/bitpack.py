@@ -329,6 +329,12 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     :func:`grouped_counts_plane` + :func:`plane_cap_g`); if it does not,
     ``bit_lens`` are poisoned to -1 (stitch_flat_payload raises).
 
+    On real TPUs with power-of-two subgroups this dispatches to the
+    sort-FREE doubling-shift Pallas kernel (ops/pallas_compact.py — the
+    whole compaction runs in VMEM off one HBM read); the XLA per-subgroup
+    sort below is the twin for CPU meshes and non-tiling shapes, and the
+    two are bit-identical (dead slots zeroed in both).
+
     Reference counterpart: the serial bit-writer tail ``encode.zig:301-319``
     (the reference never compacts — it writes bits serially in place).
 
@@ -339,14 +345,28 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     sub = plane_sub_for(steps)
     g = steps // sub
     cg = min(cap_g, sub)
-    w3 = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(lanes, g, sub)
-    e3 = emitted.reshape(lanes, g, sub)
-    cum = jnp.cumsum(e3.astype(jnp.int32), axis=2)
-    iota = jnp.arange(sub, dtype=jnp.int32)[None, None, :]
-    key = jnp.where(e3, cum - 1, sub + iota)
-    _, vs = jax.lax.sort_key_val(key, jnp.where(e3, w3, 0), dimension=2)
-    pay = vs[:, :, :cg]  # [lanes, G, cap_g]
-    counts_g = cum[:, :, -1]  # [lanes, G]
+    from .decode8 import _use_pallas
+    from .pallas_compact import compact_rows_pallas, compact_tileable
+
+    use_kernel = os.environ.get("ENTREEPY_PLANE_KERNEL", "1") == "1"
+    if use_kernel and _use_pallas() and compact_tileable(lanes, steps, sub, cg):
+        wk = jax.lax.bitcast_convert_type(words, jnp.int32).T  # [steps, lanes]
+        ek = emitted.astype(jnp.int32).T
+        plane_k, counts_k = compact_rows_pallas(wk, ek, sub, cg)
+        # [G*cap_g, lanes] k-major -> the sort path's (lane, subgroup, slot)
+        pay = plane_k.reshape(g, cg, lanes).transpose(2, 0, 1)
+        counts_g = counts_k.T  # [lanes, G]
+    else:
+        w3 = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(
+            lanes, g, sub
+        )
+        e3 = emitted.reshape(lanes, g, sub)
+        cum = jnp.cumsum(e3.astype(jnp.int32), axis=2)
+        iota = jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+        key = jnp.where(e3, cum - 1, sub + iota)
+        _, vs = jax.lax.sort_key_val(key, jnp.where(e3, w3, 0), dimension=2)
+        pay = vs[:, :, :cg]  # [lanes, G, cap_g]
+        counts_g = cum[:, :, -1]  # [lanes, G]
     counts = jnp.sum(counts_g, axis=1)
     overflow = jnp.max(counts_g) > cg
     acc_col = jax.lax.bitcast_convert_type(acc, jnp.int32)[:, None]

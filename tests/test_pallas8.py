@@ -98,3 +98,43 @@ def test_fused_pallas_interpret_matches_scan(midsummer):
                                           interpret=True)
     assert bool(pu1) == bool(pu2) is False
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_compact_kernel_matches_sort_path():
+    """The doubling-shift compaction kernel (ops/pallas_compact, interpret
+    mode) must be bit-identical to compact_payload_plane's XLA sort path:
+    same live prefixes, same zeroed dead slots, same counts — including
+    empty, partially-filled, and over-cap subgroups (the kernel truncates
+    exactly like the sort's ``[:cap_g]`` slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.pallas_compact import compact_rows_pallas
+
+    rng = np.random.default_rng(7)
+    lanes, steps, sub, cap = 16, 512, 64, 16
+    g = steps // sub
+    words = rng.integers(0, 1 << 32, (lanes, steps), dtype=np.uint64).astype(
+        np.uint32
+    )
+    emitted = rng.random((lanes, steps)) < 0.2
+    emitted[0] = False            # all-dead lane
+    emitted[1] = True             # fully dense lane (count > cap: truncation)
+    emitted[2, :sub] = False      # leading empty subgroup
+
+    # sort path (the CPU-mesh twin inside compact_payload_plane)
+    w3 = words.view(np.int32).reshape(lanes, g, sub)
+    e3 = emitted.reshape(lanes, g, sub)
+    cum = np.cumsum(e3, axis=2).astype(np.int32)
+    key = np.where(e3, cum - 1, sub + np.arange(sub, dtype=np.int32))
+    order = np.argsort(key, axis=2, kind="stable")
+    vs = np.take_along_axis(np.where(e3, w3, 0), order, axis=2)
+    pay_sort = vs[:, :, :cap]
+    counts_sort = cum[:, :, -1]
+
+    wk = jnp.asarray(words.view(np.int32).T)
+    ek = jnp.asarray(emitted.astype(np.int32).T)
+    plane_k, counts_k = compact_rows_pallas(wk, ek, sub, cap, interpret=True)
+    pay_kernel = np.asarray(plane_k).reshape(g, cap, lanes).transpose(2, 0, 1)
+    assert np.array_equal(pay_kernel, pay_sort)
+    assert np.array_equal(np.asarray(counts_k).T, counts_sort)

@@ -95,8 +95,11 @@ def main() -> int:
             # dependent chaining: each pass's entries are the previous
             # pass's shifted exits, so nothing hoists or CSEs away
             def body(_, e):
+                # packed rows are masked in-kernel since r5: n_valid is
+                # required (the real pipelines pass the body byte count)
                 _v, exits = pallas_fsm8.fused_pass_pallas8(
-                    xs_, tf_, e, m, mt, s, packed=packed
+                    xs_, tf_, e, m, mt, s, packed=packed,
+                    n_valid=jnp.int32(buf.size) if packed else None,
                 )
                 return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
 

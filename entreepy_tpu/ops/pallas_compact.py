@@ -99,7 +99,7 @@ def compact_tileable(lanes: int, k: int, sub: int, cap: int) -> bool:
     cap on Mosaic's 8-sublane grid."""
     lt = min(LANE_TILE_C, lanes)
     return (
-        sub >= 8
+        8 <= sub <= 2048  # the shift rounds keep ~5 [sub, lt] copies in VMEM
         and (sub & (sub - 1)) == 0
         and k % sub == 0
         and lanes % lt == 0

@@ -231,13 +231,17 @@ def _device_probe_stages(et: bytes):
     from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
     from entreepy_tpu.utils.stitch import split_blocks
 
+    from entreepy_tpu.ops.encode import DEFAULT_BLOCK_BYTES, _pad_blocks
+
     arr = np.frombuffer(et, np.uint8)  # pack the .et bytes themselves
     table = build_code_table(histogram(arr))
-    blocks, valid = split_blocks(arr, 4096)
+    blocks, valid = split_blocks(arr, DEFAULT_BLOCK_BYTES)
     nblk = blocks.shape[0]
-    nb2 = max(8, 1 << (nblk - 1).bit_length())
+    nb2 = _pad_blocks(nblk)  # the shipped encode path's lane padding
     if nb2 != nblk:
-        blocks = np.concatenate([blocks, np.zeros((nb2 - nblk, 4096), np.uint8)])
+        blocks = np.concatenate(
+            [blocks, np.zeros((nb2 - nblk, DEFAULT_BLOCK_BYTES), np.uint8)]
+        )
         valid = np.concatenate([valid, np.zeros(nb2 - nblk, np.int32)])
     bj, vj = jnp.asarray(blocks), jnp.asarray(valid)
     ctj = jnp.asarray(code_table_cols(table.codes, table.lengths), jnp.bfloat16)

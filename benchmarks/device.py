@@ -73,13 +73,17 @@ def main() -> int:
     results = {"corpus_MB": mb}
 
     # ---------------------------------------------------------- encode ----
+    from entreepy_tpu.ops.encode import DEFAULT_BLOCK_BYTES, _pad_blocks
+
     arr = np.frombuffer(data, np.uint8)
     table = build_code_table(histogram(arr))
-    blocks, valid = split_blocks(arr, 4096)
+    blocks, valid = split_blocks(arr, DEFAULT_BLOCK_BYTES)
     n = blocks.shape[0]
-    nb = max(8, 1 << (n - 1).bit_length())
+    nb = _pad_blocks(n)  # the shipped encode path's lane padding
     if nb != n:
-        blocks = np.concatenate([blocks, np.zeros((nb - n, 4096), np.uint8)])
+        blocks = np.concatenate(
+            [blocks, np.zeros((nb - n, DEFAULT_BLOCK_BYTES), np.uint8)]
+        )
         valid = np.concatenate([valid, np.zeros(nb - n, np.int32)])
     b, v = jnp.asarray(blocks), jnp.asarray(valid)
     ct = jnp.asarray(code_table_cols(table.codes, table.lengths), jnp.bfloat16)

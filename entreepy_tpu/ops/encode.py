@@ -35,16 +35,41 @@ from .bitpack import (
     payload_cap_g,
 )
 
-DEFAULT_BLOCK_BYTES = 4096  # scan length; lanes = input_size / block_bytes
-# Streaming tile width for the device encode (blocks per tile): 8192 blocks
-# x 4096 B = 32 MB of input per tile — blocks are independent, so tiling is
-# exact and the HBM working set is bounded at any input size.
-TILE_BLOCKS = int(os.environ.get("ENTREEPY_TILE_BLOCKS", "8192"))
+# Scan length; lanes = input_size / block_bytes. The stitched .et stream is
+# byte-identical at ANY block size (bit-granular splices), so this is a pure
+# perf knob: the Pallas pack kernel's wall time scales with
+# steps x ceil(lanes / LANE_TILE) sequential rows, so SMALLER blocks win
+# once the lane count fills whole 1024-lane tiles. Interleaved on-chip sweep
+# (5.2 MB text, pack + doubling-shift compact e2e medians, LANE_TILE-padded
+# lanes): 4096 -> 1.13 ms, 2048 -> 0.92, 1024 -> 0.58, 512 -> 0.63 (same
+# sequential rows as 1024 but 2x the lanes' metadata). 1024 is the default;
+# the emitted word totals differed only by the blocks' boundary partials and
+# the stitched bytes are identical (golden fixtures + device==host tests).
+DEFAULT_BLOCK_BYTES = 1024
+# Streaming tile width for the device encode (blocks per tile): default
+# keeps 32 MB of input per tile at the default block size — blocks are
+# independent, so tiling is exact and the HBM working set is bounded at any
+# input size.
+TILE_BLOCKS = int(
+    os.environ.get("ENTREEPY_TILE_BLOCKS", str((32 << 20) // DEFAULT_BLOCK_BYTES))
+)
 
 
 def _bucket(n: int) -> int:
     """Round up to a power of two to bound jit recompiles."""
     return 1 << max(0, (n - 1).bit_length())
+
+
+def _pad_blocks(n: int) -> int:
+    """Lane padding for the Pallas pack path: round up to a LANE_TILE
+    multiple (>= 1 tile). The pow-2 bucket wastes up to ~2x of the grid in
+    dead lanes (e.g. 5079 -> 8192) and every dead lane is real kernel time;
+    tile multiples bound the waste at one tile. CPU meshes keep the pow-2
+    bucket (the scan twin's compile cost is per shape, and padded lanes are
+    real scan work there too)."""
+    from .pallas_pack import LANE_TILE
+
+    return max(LANE_TILE, -(-n // LANE_TILE) * LANE_TILE)
 
 
 def histogram_on_device(arr: np.ndarray) -> np.ndarray:
@@ -101,9 +126,17 @@ def encode_blocks_device(
         return np.concatenate(flats), np.concatenate(nws), np.concatenate(bls)
 
     blocks_np, valid_np = split_blocks(arr, block_bytes)
-    # Bucket the block count to a power of two (extra blocks are empty:
-    # valid=0) so jit compiles once per bucket, not once per file size.
-    n_bucket = _bucket(blocks_np.shape[0])
+    # Pad the block count (extra blocks are empty: valid=0) so jit compiles
+    # once per bucket, not once per file size: LANE_TILE multiples on the
+    # Pallas path (dead lanes are real kernel rows — see _pad_blocks),
+    # pow-2 buckets on CPU meshes.
+    from .decode8 import _use_pallas
+
+    use_pallas = _use_pallas()
+    n_bucket = (
+        _pad_blocks(blocks_np.shape[0]) if use_pallas
+        else _bucket(blocks_np.shape[0])
+    )
     if n_bucket != blocks_np.shape[0]:
         pad = n_bucket - blocks_np.shape[0]
         blocks_np = np.concatenate([blocks_np, np.zeros((pad, block_bytes), np.uint8)])
@@ -111,9 +144,8 @@ def encode_blocks_device(
 
     codetbl = jnp.asarray(code_table_cols(table.codes, table.lengths), dtype=jnp.bfloat16)
     pack = pack_blocks_jit
-    from .decode8 import _use_pallas
 
-    if _use_pallas():
+    if use_pallas:
         try:  # fused kernel needs tile-compatible shapes
             from .pallas_pack import _tiles, pack_blocks_pallas
 

@@ -62,7 +62,11 @@ from ..ops.pallas_fsm8 import LANE_TILE
 from ..utils.stitch import split_blocks, stitch_flat_payload, words_to_bytes
 from .mesh import BLOCK_AXIS, make_mesh
 
-DEFAULT_BLOCK_BYTES = 4096
+# One source of truth with the single-chip path (ops/encode.py): the block
+# size is a pure perf knob (the stitched .et stream is bit-identical at any
+# value) and the swept-on-chip 1024 default applies per shard too — the
+# pack kernel's wall time scales with steps x lane tiles.
+from ..ops.encode import DEFAULT_BLOCK_BYTES
 
 # Sharded decode masks real bytes by global int32 positions; compressed
 # bodies at/past this wrap and must take the tile-local streaming path.
@@ -141,10 +145,18 @@ def _pack_fn(mesh: Mesh, axis: str):
 
 
 def _shard_blocks(arr: np.ndarray, block_bytes: int, n_dev: int):
-    """Split + zero-pad so the block count is a power-of-two multiple of n_dev."""
+    """Split + zero-pad the block count: LANE_TILE-multiple per shard on
+    the Pallas path (dead lanes are real kernel rows — ops/encode.py
+    ``_pad_blocks``), power-of-two multiple of n_dev on CPU meshes."""
+    from ..ops.decode8 import _use_pallas
+
     blocks, valid = split_blocks(arr, block_bytes)
     n = blocks.shape[0]
-    n_pad = max(_bucket(n), n_dev)
+    if _use_pallas():
+        unit = n_dev * LANE_TILE
+        n_pad = -(-n // unit) * unit
+    else:
+        n_pad = max(_bucket(n), n_dev)
     if n_pad != n:
         blocks = np.concatenate([blocks, np.zeros((n_pad - n, block_bytes), np.uint8)])
         valid = np.concatenate([valid, np.zeros(n_pad - n, np.int32)])

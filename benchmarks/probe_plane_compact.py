@@ -12,8 +12,11 @@ two formulations are called directly instead of flipping
 cache keys on shapes only, so mutating it mid-process would silently
 reuse the other config's program).
 
-Measured 2026-08-19 on v5e (5.2 MB text, 4096-byte blocks, sub=256,
-cap=64): sort 2.28 ms, kernel 0.77 ms — the defaults' rationale.
+Measured 2026-08-19 on v5e (5.2 MB text, the then-default 4096-byte
+blocks, sub=256, cap=64): sort 2.28 ms, kernel 0.77 ms — the defaults'
+rationale. The probe follows the shipped block-size default (1024 since
+the same session's block sweep: 4096 -> 1.13, 1024 -> 0.58 ms
+pack+compact with tile-multiple lane padding).
 
     timeout 550 python -u benchmarks/probe_plane_compact.py
 """
@@ -46,7 +49,9 @@ def main() -> int:
     from entreepy_tpu.ops.bitpack import (
         code_table_cols, grouped_counts_plane, plane_cap_g, plane_sub_for,
     )
-    from entreepy_tpu.ops.encode import _bucket, split_blocks
+    from entreepy_tpu.ops.encode import (
+        DEFAULT_BLOCK_BYTES, _pad_blocks, split_blocks,
+    )
     from entreepy_tpu.ops.pallas_compact import compact_rows_pallas
     from entreepy_tpu.ops.pallas_pack import pack_blocks_pallas
 
@@ -54,9 +59,9 @@ def main() -> int:
     data = (src * (-(-5_200_000 // len(src))))[:5_200_000]
     arr = np.frombuffer(data, np.uint8)
     table = build_code_table(histogram(arr))
-    block_bytes = 4096
+    block_bytes = DEFAULT_BLOCK_BYTES
     blocks_np, valid_np = split_blocks(arr, block_bytes)
-    nb = _bucket(blocks_np.shape[0])
+    nb = _pad_blocks(blocks_np.shape[0])
     if nb != blocks_np.shape[0]:
         pad = nb - blocks_np.shape[0]
         blocks_np = np.concatenate(

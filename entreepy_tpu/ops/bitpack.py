@@ -280,16 +280,19 @@ def compact_payload_flat(words, emitted, acc, nbits, cap_g: int, cap_total: int)
     return jax.lax.bitcast_convert_type(flat, jnp.uint32), nwords, bit_lens
 
 
-# Plane-compaction subgroup width (slots): single-stage compaction sorts
-# this narrow per subgroup and the HOST slices live prefixes from the
+# Plane-compaction subgroup width (slots): single-stage compaction packs
+# live words per subgroup and the HOST slices live prefixes from the
 # fetched plane (the decode-side plane trick) — no global stage-2 sort.
-# Narrow subgroups cut sort cost; wide ones cut per-subgroup cap slack
-# (fetch inflation). Interleaved same-process sweep on v5e (5.2 MB .et
-# bytes, 4096-byte blocks, full pack+compact e2e medians over 5 rounds /
-# fetch inflation): 64 -> 0.77 ms / 2.78x, 128 -> 2.97 / 2.09 (a
-# reproducible XLA sort-size cliff — matches the standalone bench run),
-# 256 -> 0.97 / 1.74, 512 -> 1.24 / 1.57. 256 is the default: within
-# 0.2 ms of the fastest with ~1 MB/5 MB less D2H than 64.
+# Narrow subgroups cut per-subgroup work; wide ones cut cap slack (fetch
+# inflation). Sort-path sweep on v5e (5.2 MB .et bytes, 4096-byte blocks,
+# pack+compact e2e medians / fetch): 64 -> 0.77 ms / 2.78x, 128 -> 2.97 /
+# 2.09 (a reproducible XLA sort-size cliff), 256 -> 0.97 / 1.74,
+# 512 -> 1.24 / 1.57. The r5 doubling-shift KERNEL path (the real-TPU
+# default) has no sort cliff: at 1024-B blocks its sweep read 128-512
+# within this tunnel's noise floor (the quantity is now ~0.3-0.6 ms,
+# smaller than cross-burst dispatch variance; a follow-up A/B produced a
+# negative marginal — unresolvable here) and sub=1024 traded ~+0.15 ms
+# for a 1.72x -> 1.40x fetch. 256 stays the default for both paths.
 PLANE_SUB = int(os.environ.get("ENTREEPY_PLANE_SUB", "256"))
 
 

@@ -708,24 +708,45 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
     inv3 = inv.reshape(gs, sb, lanes)
     w_inv = jnp.where(inv3, g_start[:, None, :] + cums, big).min(axis=(0, 1))
 
-    # ONE word per slot — (position << 8) | symbol — so the sort moves half
-    # the bytes a (key, value) pair sort would; dead slots carry position
-    # ``sg`` (> every live position) and sink to the bottom of their
-    # subgroup. int16 when the packed value fits (sg <= 127 — the default
-    # sb=32/m<=3 gives sg=96): halves the sorted bytes again.
-    j = jnp.arange(m, dtype=jnp.int32)[None, None, :, None]
-    pos = jnp.where(
-        j < c3[:, :, None, :], cums[:, :, None, :] + j, sg
-    )  # [Gs, sb, m, lanes]
-    pos = pos.reshape(gs, sg, lanes)
-    packed = (pos << 8) | jnp.where(
-        pos < sg, syms.reshape(gs, sg, lanes).astype(jnp.int32), 0
-    )
-    if sg <= 127:  # sg << 8 | sym fits int16's positive range
-        packed = packed.astype(jnp.int16)
-    sv = jnp.sort(packed, axis=1).astype(jnp.int32)
     cap_g = min(cap_sym, sg)
-    plane = (sv[:, :cap_g, :] & 255).astype(jnp.uint8)
+    from .pallas_compact import compact_rows_pallas, compact_tileable
+
+    if (
+        os.environ.get("ENTREEPY_PLANE_KERNEL", "1") == "1"
+        and _use_pallas()
+        and compact_tileable(lanes, k * m, sg, cap_g)
+    ):
+        # Sort-free doubling-shift kernel (ops/pallas_compact.py, the
+        # encode plane path's twin): the slots grid [K*m, lanes] is already
+        # in stream order and ``j < count`` is the live mask, so no
+        # (position << 8 | symbol) packing and no sort at all.
+        live = (
+            (jnp.arange(m, dtype=jnp.int32)[None, :, None]
+             < counts[:, None, :]).astype(jnp.int32).reshape(k * m, lanes)
+        )
+        plane_k, _cnt = compact_rows_pallas(
+            syms.reshape(k * m, lanes).astype(jnp.int32), live, sg, cap_g
+        )
+        plane = plane_k.reshape(gs, cap_g, lanes).astype(jnp.uint8)
+    else:
+        # XLA-sort twin (CPU meshes / non-tiling shapes): ONE word per
+        # slot — (position << 8) | symbol — so the sort moves half the
+        # bytes a (key, value) pair sort would; dead slots carry position
+        # ``sg`` (> every live position) and sink to the bottom of their
+        # subgroup. int16 when the packed value fits (sg <= 127 — the
+        # default sb=32/m<=3 gives sg=96): halves the sorted bytes again.
+        j = jnp.arange(m, dtype=jnp.int32)[None, None, :, None]
+        pos = jnp.where(
+            j < c3[:, :, None, :], cums[:, :, None, :] + j, sg
+        )  # [Gs, sb, m, lanes]
+        pos = pos.reshape(gs, sg, lanes)
+        packed = (pos << 8) | jnp.where(
+            pos < sg, syms.reshape(gs, sg, lanes).astype(jnp.int32), 0
+        )
+        if sg <= 127:  # sg << 8 | sym fits int16's positive range
+            packed = packed.astype(jnp.int16)
+        sv = jnp.sort(packed, axis=1).astype(jnp.int32)
+        plane = (sv[:, :cap_g, :] & 255).astype(jnp.uint8)
     if cap_sym > sg:
         plane = jnp.pad(plane, ((0, 0), (0, cap_sym - sg), (0, 0)))
     # An under-sized static cap would silently truncate a subgroup; poison

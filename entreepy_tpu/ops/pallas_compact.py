@@ -56,7 +56,7 @@ def _compact_kernel(sub: int, cap: int):
     """One (lane_tile, subgroup) cell: compact the live rows of a [sub, lt]
     block to its top, zero the rest, emit the first ``cap`` rows + the live
     count."""
-    rounds = sub.bit_length() - 1  # sub is a power of two
+    rounds = (sub - 1).bit_length()  # max move = sub - 1
 
     def kernel(w_ref, e_ref, plane_ref, cnt_ref):
         i_l = pl.program_id(0)
@@ -94,13 +94,15 @@ def _compact_kernel(sub: int, cap: int):
 
 
 def compact_tileable(lanes: int, k: int, sub: int, cap: int) -> bool:
-    """True when :func:`compact_rows_pallas` accepts these shapes: power-of-
-    two subgroups tiling the step axis, lane tile dividing the lane count,
-    cap on Mosaic's 8-sublane grid."""
+    """True when :func:`compact_rows_pallas` accepts these shapes: subgroups
+    on Mosaic's 8-sublane grid tiling the step axis, lane tile dividing the
+    lane count, cap on the same grid. (Any ``sub`` is algorithmically fine —
+    the shift-round count is just ``(sub-1).bit_length()`` — the bounds are
+    Mosaic block-shape and VMEM constraints.)"""
     lt = min(LANE_TILE_C, lanes)
     return (
         8 <= sub <= 2048  # the shift rounds keep ~5 [sub, lt] copies in VMEM
-        and (sub & (sub - 1)) == 0
+        and sub % 8 == 0
         and k % sub == 0
         and lanes % lt == 0
         and cap % 8 == 0

@@ -138,3 +138,46 @@ def test_compact_kernel_matches_sort_path():
     pay_kernel = np.asarray(plane_k).reshape(g, cap, lanes).transpose(2, 0, 1)
     assert np.array_equal(pay_kernel, pay_sort)
     assert np.array_equal(np.asarray(counts_k).T, counts_sort)
+
+
+def test_decode_compact_kernel_matches_sort_formulation():
+    """compact_symbols_device's doubling-shift route (non-power-of-two
+    subgroups: sg = sub_bytes*m) must emit the sort formulation's exact
+    plane: live symbols packed per subgroup in stream order, zeroed dead
+    slots, truncation at cap."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.pallas_compact import compact_rows_pallas
+
+    rng = np.random.default_rng(11)
+    k, m, lanes, sb = 64, 3, 16, 8
+    sg = sb * m  # 24 — not a power of two
+    gs = k // sb
+    counts = rng.integers(0, m + 1, (k, lanes)).astype(np.int32)
+    counts[:, 0] = 0             # all-dead lane
+    counts[:, 1] = m             # fully dense lane
+    syms = rng.integers(0, 256, (k, m, lanes)).astype(np.uint8)
+    cap = 16  # < sg: exercises truncation
+
+    # sort formulation (the CPU twin inside compact_symbols_device)
+    c3 = counts.reshape(gs, sb, lanes)
+    cums = np.cumsum(c3, axis=1) - c3
+    j = np.arange(m, dtype=np.int32)[None, None, :, None]
+    pos = np.where(j < c3[:, :, None, :], cums[:, :, None, :] + j, sg)
+    pos = pos.reshape(gs, sg, lanes)
+    packed = (pos << 8) | np.where(
+        pos < sg, syms.reshape(gs, sg, lanes).astype(np.int32), 0
+    )
+    sv = np.sort(packed, axis=1)
+    plane_sort = (sv[:, :cap, :] & 255).astype(np.uint8)
+
+    live = (
+        (np.arange(m, dtype=np.int32)[None, :, None] < counts[:, None, :])
+        .astype(np.int32).reshape(k * m, lanes)
+    )
+    plane_k, _ = compact_rows_pallas(
+        jnp.asarray(syms.reshape(k * m, lanes).astype(np.int32)),
+        jnp.asarray(live), sg, cap, interpret=True,
+    )
+    got = np.asarray(plane_k).reshape(gs, cap, lanes).astype(np.uint8)
+    assert np.array_equal(got, plane_sort)

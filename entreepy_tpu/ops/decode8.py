@@ -68,6 +68,12 @@ SUB_BYTES = int(os.environ.get("ENTREEPY_SUB_BYTES", "8"))
 # Host-fetch consumers (sharded/multihost decode) keep wider subgroups: their
 # symbol plane crosses D2H/DCN, so the per-subgroup cap slack is interconnect
 # bandwidth there, not just HBM (~1.15x fetch at 32 vs ~1.7x at 8).
+# Re-swept under the r5 doubling-shift kernel route (interleaved on-chip,
+# fused decode + packed compaction e2e / fetch inflation, bytes verified):
+# 8 -> 1.71 ms / 1.90x, 32 -> 0.85 / 1.24, 128 -> 2.16 / 1.15,
+# 512 (= per-lane) -> 2.18 / 1.11. Wide subgroups buy ~0.13x of fetch for
+# >1.3 ms of extra shift rounds at narrower lane tiles — a loss even at
+# PCIe/DCN bandwidths, so 32 stays the default.
 SUB_BYTES_FETCH = int(os.environ.get("ENTREEPY_SUB_BYTES_FETCH", "32"))
 CAP_SYM_ROUND = 16  # per-subgroup symbol caps round up to this
 from .pallas_fsm8 import LANE_TILE  # lanes pad to a multiple of the kernel tile

@@ -34,8 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Lane tile: 512 halves the per-cell VMEM of the [sub, lt] working arrays
 # vs the pack kernel's 1024 (the shift rounds keep ~4 live copies); the
-# kernel is HBM-bound either way.
+# kernel is HBM-bound either way. Wide subgroups (the per-lane decode
+# fetch layout passes sub = chunk_bytes * m = 1536) shrink the tile
+# further to keep the ~5 live [sub, lt] int32 copies inside VMEM.
 LANE_TILE_C = 512
+
+
+def _lane_tile(lanes: int, sub: int) -> int:
+    cap_lt = 512 if sub <= 256 else (256 if sub <= 768 else 128)
+    return min(cap_lt, lanes)
 
 
 def _shift_up(x: jax.Array, sh: int) -> jax.Array:
@@ -99,7 +106,7 @@ def compact_tileable(lanes: int, k: int, sub: int, cap: int) -> bool:
     lane count, cap on the same grid. (Any ``sub`` is algorithmically fine —
     the shift-round count is just ``(sub-1).bit_length()`` — the bounds are
     Mosaic block-shape and VMEM constraints.)"""
-    lt = min(LANE_TILE_C, lanes)
+    lt = _lane_tile(lanes, sub)
     return (
         8 <= sub <= 2048  # the shift rounds keep ~5 [sub, lt] copies in VMEM
         and sub % 8 == 0
@@ -121,7 +128,7 @@ def compact_rows_pallas(wk, ek, sub: int, cap: int, interpret: bool = False):
         raise ValueError(
             f"lanes={lanes} k={k} sub={sub} cap={cap} not compact-tileable"
         )
-    lt = min(LANE_TILE_C, lanes)
+    lt = _lane_tile(lanes, sub)
     g = k // sub
     grid = (lanes // lt, g)
     plane_k, counts = pl.pallas_call(

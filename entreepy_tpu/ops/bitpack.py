@@ -332,7 +332,7 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     :func:`grouped_counts_plane` + :func:`plane_cap_g`); if it does not,
     ``bit_lens`` are poisoned to -1 (stitch_flat_payload raises).
 
-    On real TPUs with power-of-two subgroups this dispatches to the
+    On real TPUs with kernel-tileable subgroups this dispatches to the
     sort-FREE doubling-shift Pallas kernel (ops/pallas_compact.py — the
     whole compaction runs in VMEM off one HBM read); the XLA per-subgroup
     sort below is the twin for CPU meshes and non-tiling shapes, and the

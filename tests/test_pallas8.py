@@ -181,3 +181,30 @@ def test_decode_compact_kernel_matches_sort_formulation():
     )
     got = np.asarray(plane_k).reshape(gs, cap, lanes).astype(np.uint8)
     assert np.array_equal(got, plane_sort)
+
+
+def test_compact_tile_helpers_invariants():
+    """_pad_blocks (encode lane padding) and _lane_tile (kernel VMEM
+    ladder) keep the kernel's divisibility contract for every lane count
+    the pipelines produce."""
+    from entreepy_tpu.ops.encode import _pad_blocks
+    from entreepy_tpu.ops.pallas_compact import _lane_tile, compact_tileable
+    from entreepy_tpu.ops.pallas_pack import LANE_TILE
+
+    for n in (1, 7, 1024, 1025, 5079, 65536):
+        p = _pad_blocks(n)
+        assert p >= max(n, LANE_TILE) and p % LANE_TILE == 0
+        assert p - n < LANE_TILE or p == LANE_TILE  # waste bounded at 1 tile
+        # every padded lane count tiles for every ladder rung
+        for sub in (96, 256, 1536):
+            assert p % _lane_tile(p, sub) == 0
+    # the ladder shrinks with sub and the tileable gate accepts the
+    # pipelines' real shapes (encode: 1024-B blocks / sub 256 / cap 64;
+    # decode fetch: sg = 32*3 = 96 / cap 64; per-lane: sg 1536 / cap 896)
+    assert _lane_tile(4096, 256) == 512
+    assert _lane_tile(4096, 1536) == 128
+    assert compact_tileable(5120, 1024, 256, 64)
+    assert compact_tileable(6144, 1536, 96, 64)
+    assert compact_tileable(6144, 1536, 1536, 896)
+    assert not compact_tileable(5120, 1024, 256, 60)   # cap off the 8-grid
+    assert not compact_tileable(5120, 1000, 256, 64)   # sub doesn't tile k

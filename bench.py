@@ -225,6 +225,37 @@ def _device_probe_stages(et: bytes):
         "decode_pass_MBps": round(buf.size / pass_s / 1e6, 0),
     }
 
+    # The SHIPPED one-pass kernel's roofline position: chained fused passes
+    # against ITS MAC floor (256 x table-width per byte — the table is the
+    # compact [256, 2s+9(mt+2)] fused layout, not the emit pass's padded
+    # [256, width] sync table, so the two MFU figures are not comparable).
+    from entreepy_tpu.ops.decode8 import build_fused
+    from entreepy_tpu.ops.pallas_fsm8 import fused_pass_pallas8
+
+    t_fused, fm, fmt, fs = build_fused(fsm)
+    f_packed = fm <= 3
+    nv = jnp.int32(buf.size)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def fused_chain(xs_, tf_, entries, n):
+        def body(_, e):
+            _v, exits = fused_pass_pallas8(
+                xs_, tf_, e, fm, fmt, fs, packed=f_packed,
+                n_valid=nv if f_packed else None,
+            )
+            return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+
+        return jax.lax.fori_loop(0, n, body, entries)
+
+    _, f1 = best_of(lambda: int(jnp.sum(fused_chain(xs, t_fused, e0, 1))), 1, 3)
+    _, f41 = best_of(lambda: int(jnp.sum(fused_chain(xs, t_fused, e0, 41))), 1, 3)
+    fpass_s = max((f41 - f1) / 40, 1e-9)
+    fmacs = buf.size * t_fused.shape[1] * 256
+    yield {
+        "fused_pass_ms": round(fpass_s * 1e3, 3),
+        "fused_mfu_pct": round(fmacs / fpass_s / _mxu_peak() * 100, 1),
+    }
+
     # pack (encode) kernel marginal pass via the same chaining trick
     from entreepy_tpu.format import build_code_table, histogram
     from entreepy_tpu.ops.bitpack import code_table_cols

@@ -315,8 +315,9 @@ def plane_cap_g(max_g: int, steps: int) -> int:
     return min(-(-max(max_g, 1) // CAP_G_ROUND) * CAP_G_ROUND, sub)
 
 
-@partial(jax.jit, static_argnames=("cap_g",))
-def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
+@partial(jax.jit, static_argnames=("cap_g", "interpret"))
+def compact_payload_plane(words, emitted, acc, nbits, cap_g: int,
+                          interpret: bool = False):
     """SINGLE-stage device compaction: per-(lane, PLANE_SUB-slot subgroup)
     key-val sort packs emitted words to each subgroup's front; the host
     fetches the [lanes, G*cap_g + 1] plane (the final partial word rides
@@ -352,10 +353,16 @@ def compact_payload_plane(words, emitted, acc, nbits, cap_g: int):
     from .pallas_compact import compact_rows_pallas, compact_tileable
 
     use_kernel = os.environ.get("ENTREEPY_PLANE_KERNEL", "1") == "1"
-    if use_kernel and _use_pallas() and compact_tileable(lanes, steps, sub, cg):
+    # ``interpret`` forces the kernel branch through the Pallas interpreter
+    # so CPU tests can pin the dispatch glue (transposes, counts
+    # orientation) against the sort twin, not just the kernel core.
+    if (interpret or (use_kernel and _use_pallas())) and compact_tileable(
+        lanes, steps, sub, cg
+    ):
         wk = jax.lax.bitcast_convert_type(words, jnp.int32).T  # [steps, lanes]
         ek = emitted.astype(jnp.int32).T
-        plane_k, counts_k = compact_rows_pallas(wk, ek, sub, cg)
+        plane_k, counts_k = compact_rows_pallas(wk, ek, sub, cg,
+                                                interpret=interpret)
         # [G*cap_g, lanes] k-major -> the sort path's (lane, subgroup, slot)
         pay = plane_k.reshape(g, cg, lanes).transpose(2, 0, 1)
         counts_g = counts_k.T  # [lanes, G]

@@ -666,9 +666,9 @@ def expand_pass_device(cols, states, t_exp, n_valid, m: int, pos0=0):
     return _expand_mask(raw, syms, n_valid, m, pos0)
 
 
-@partial(jax.jit, static_argnames=("m", "cap_sym", "sub"))
+@partial(jax.jit, static_argnames=("m", "cap_sym", "sub", "interpret"))
 def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
-                           sub: int | None = None):
+                           sub: int | None = None, interpret: bool = False):
     """Dense per-byte symbol slots -> per-lane compacted symbol columns.
 
     One per-lane sort packs each lane's symbols to the column front
@@ -718,10 +718,12 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
     from .pallas_compact import compact_rows_pallas, compact_tileable
 
     if (
-        os.environ.get("ENTREEPY_PLANE_KERNEL", "1") == "1"
-        and _use_pallas()
-        and compact_tileable(lanes, k * m, sg, cap_g)
-    ):
+        interpret
+        or (
+            os.environ.get("ENTREEPY_PLANE_KERNEL", "1") == "1"
+            and _use_pallas()
+        )
+    ) and compact_tileable(lanes, k * m, sg, cap_g):
         # Sort-free doubling-shift kernel (ops/pallas_compact.py, the
         # encode plane path's twin): the slots grid [K*m, lanes] is already
         # in stream order and ``j < count`` is the live mask, so no
@@ -731,7 +733,8 @@ def compact_symbols_device(counts, inv, syms, m: int, cap_sym: int,
              < counts[:, None, :]).astype(jnp.int32).reshape(k * m, lanes)
         )
         plane_k, _cnt = compact_rows_pallas(
-            syms.reshape(k * m, lanes).astype(jnp.int32), live, sg, cap_g
+            syms.reshape(k * m, lanes).astype(jnp.int32), live, sg, cap_g,
+            interpret=interpret,
         )
         plane = plane_k.reshape(gs, cap_g, lanes).astype(jnp.uint8)
     else:

@@ -208,3 +208,53 @@ def test_compact_tile_helpers_invariants():
     assert compact_tileable(6144, 1536, 1536, 896)
     assert not compact_tileable(5120, 1024, 256, 60)   # cap off the 8-grid
     assert not compact_tileable(5120, 1000, 256, 64)   # sub doesn't tile k
+
+
+def test_plane_dispatch_glue_matches_sort_twin():
+    """compact_payload_plane's FULL kernel branch (interpret mode: the
+    transposes, the counts reorientation, the acc column, bit_lens) must be
+    bit-identical to its sort twin on the same inputs — pins the dispatch
+    glue that otherwise only runs on real TPUs."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.bitpack import compact_payload_plane
+
+    rng = np.random.default_rng(13)
+    lanes, steps, cap = 16, 512, 16  # plane_sub_for(512) = 256 -> g = 2
+    words = jnp.asarray(
+        rng.integers(0, 1 << 32, (lanes, steps), dtype=np.uint64).astype(np.uint32)
+    )
+    emitted = jnp.asarray(rng.random((lanes, steps)) < 0.05)
+    acc = jnp.asarray(
+        rng.integers(0, 1 << 32, lanes, dtype=np.uint64).astype(np.uint32)
+    )
+    nbits = jnp.asarray(rng.integers(0, 32, lanes).astype(np.int32))
+
+    p_sort, c_sort, bl_sort = compact_payload_plane(words, emitted, acc, nbits, cap)
+    p_kern, c_kern, bl_kern = compact_payload_plane(
+        words, emitted, acc, nbits, cap, interpret=True
+    )
+    assert np.array_equal(np.asarray(p_sort), np.asarray(p_kern))
+    assert np.array_equal(np.asarray(c_sort), np.asarray(c_kern))
+    assert np.array_equal(np.asarray(bl_sort), np.asarray(bl_kern))
+
+
+def test_symbols_dispatch_glue_matches_sort_twin():
+    """compact_symbols_device's FULL kernel branch (interpret mode) must be
+    bit-identical to its sort twin: plane, mini totals, lane totals,
+    first-invalid offsets — including cap_sym > sg padding."""
+    import jax.numpy as jnp
+
+    from entreepy_tpu.ops.decode8 import compact_symbols_device
+
+    rng = np.random.default_rng(17)
+    k, m, lanes = 64, 3, 16
+    counts = jnp.asarray(rng.integers(0, m + 1, (k, lanes)).astype(np.int32))
+    inv = jnp.asarray(rng.random((k, lanes)) < 0.02)
+    syms = jnp.asarray(rng.integers(0, 256, (k, m, lanes)).astype(np.uint8))
+    for cap_sym in (16, 32):
+        outs_s = compact_symbols_device(counts, inv, syms, m, cap_sym, sub=8)
+        outs_k = compact_symbols_device(counts, inv, syms, m, cap_sym, sub=8,
+                                        interpret=True)
+        for a, b in zip(outs_s, outs_k):
+            assert np.array_equal(np.asarray(a), np.asarray(b))

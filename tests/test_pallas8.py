@@ -248,13 +248,16 @@ def test_symbols_dispatch_glue_matches_sort_twin():
     from entreepy_tpu.ops.decode8 import compact_symbols_device
 
     rng = np.random.default_rng(17)
-    k, m, lanes = 64, 3, 16
-    counts = jnp.asarray(rng.integers(0, m + 1, (k, lanes)).astype(np.int32))
-    inv = jnp.asarray(rng.random((k, lanes)) < 0.02)
-    syms = jnp.asarray(rng.integers(0, 256, (k, m, lanes)).astype(np.uint8))
-    for cap_sym in (16, 32):
-        outs_s = compact_symbols_device(counts, inv, syms, m, cap_sym, sub=8)
-        outs_k = compact_symbols_device(counts, inv, syms, m, cap_sym, sub=8,
-                                        interpret=True)
-        for a, b in zip(outs_s, outs_k):
-            assert np.array_equal(np.asarray(a), np.asarray(b))
+    # m=3 is the text-corpus shape; m=8 is the degenerate 2-symbol-table
+    # shape (1-bit codes -> 8 symbols per byte)
+    for k, m, lanes in ((64, 3, 16), (32, 8, 16)):
+        counts = jnp.asarray(rng.integers(0, m + 1, (k, lanes)).astype(np.int32))
+        inv = jnp.asarray(rng.random((k, lanes)) < 0.02)
+        syms = jnp.asarray(rng.integers(0, 256, (k, m, lanes)).astype(np.uint8))
+        for cap_sym in (16, 32):
+            outs_s = compact_symbols_device(counts, inv, syms, m, cap_sym,
+                                            sub=8)
+            outs_k = compact_symbols_device(counts, inv, syms, m, cap_sym,
+                                            sub=8, interpret=True)
+            for a, b in zip(outs_s, outs_k):
+                assert np.array_equal(np.asarray(a), np.asarray(b))

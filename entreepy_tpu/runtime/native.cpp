@@ -364,10 +364,16 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
   // output buffer (the offsets — and the caller's allocation — are derived
   // from those same claims).
   std::atomic<bool> oversized(false);
+  // Fused (code << 8 | len) lookup: ONE L1 load per symbol instead of two
+  // (codes and lens put the same symbol in different cache lines).
+  uint64_t tbl[256];
+  for (int s = 0; s < 256; ++s)
+    tbl[s] = ((uint64_t)codes[s] << 8) | lens[s];
   struct PK {
     const uint8_t* i;
     const uint8_t* hi;
     uint8_t* p;
+    uint8_t* safe;  // fast 8-byte stores require p + 8 <= safe (see below)
     uint64_t acc = 0;
     long long budget = 0;
     int nbits = 0;
@@ -380,8 +386,13 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
     st.i = data + lo;
     st.hi = data + hie;
     st.p = out + (start >> 3);
+    st.safe = out + (off[(size_t)b + 1] >> 3);
     st.nbits = (int)(start & 7);  // lead zeros over the shared boundary byte
     st.budget = bits[b];
+    // A block starting ON a byte boundary owns its first byte outright (the
+    // previous block's pk_finish only ORs a byte it left partial), so plain
+    // stores are safe from the first flush on.
+    if ((start & 7) == 0) st.first = false;
   };
   auto pk_step = [&](PK& st) {
     const uint8_t sym = *st.i++;
@@ -406,6 +417,35 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
       st.nbits -= 8;
     }
   };
+  // Branchless fast step: append the symbol's code, then flush with ONE
+  // unconditional 8-byte big-endian store and advance by the completed
+  // bytes. The old per-byte while-loop flush is data-dependent (~50% taken
+  // on text, randomly) — its mispredicts dominated the pack. The store
+  // scribbles up to 7 look-ahead bytes (pending bits, then zeros); every
+  // scribbled byte is < safe and gets rewritten by a later plain store
+  // before the shared boundary byte at `safe` (which only ever sees the
+  // pk_finish atomic OR), so the concurrent-neighbor protocol is intact.
+  // Requires !first (the block's first byte may need the atomic OR) and
+  // p + 8 <= safe. nbits stays < 8 after each flush and codes are <= 32
+  // bits, so the 64-bit accumulator never overflows.
+  auto pk_fast = [&](PK& st) {
+    const uint64_t e = tbl[*st.i++];
+    const int len = (int)(e & 0xFF);
+    st.budget -= len;
+    if (st.budget < 0) {  // claimed size exceeded: truncate this block
+      oversized.store(true, std::memory_order_relaxed);
+      st.i = st.hi;
+      return;
+    }
+    st.acc |= (e >> 8) << (64 - st.nbits - len);
+    st.nbits += len;
+    uint64_t be = __builtin_bswap64(st.acc);
+    std::memcpy(st.p, &be, 8);
+    const int nw = st.nbits >> 3;
+    st.p += nw;
+    st.acc <<= nw * 8;
+    st.nbits &= 7;
+  };
   auto pk_finish = [&](PK& st) {
     if (st.nbits > 0) __atomic_fetch_or(st.p, (uint8_t)(st.acc >> 56), __ATOMIC_RELAXED);
   };
@@ -420,13 +460,21 @@ long long et_pack_parallel_sized(const uint8_t* data, long long n,
     pk_init(2 * pi, a);
     if (2 * pi + 1 < nb) {
       pk_init(2 * pi + 1, b2);
-      while (a.i < a.hi && b2.i < b2.hi) {
-        pk_step(a);
-        pk_step(b2);
+      // byte-wise until each block's boundary OR has landed
+      while (a.first && a.i < a.hi) pk_step(a);
+      while (b2.first && b2.i < b2.hi) pk_step(b2);
+      while (a.i < a.hi && a.p + 8 <= a.safe &&
+             b2.i < b2.hi && b2.p + 8 <= b2.safe) {
+        pk_fast(a);
+        pk_fast(b2);
       }
+      while (b2.i < b2.hi && b2.p + 8 <= b2.safe) pk_fast(b2);
       while (b2.i < b2.hi) pk_step(b2);
       pk_finish(b2);
+    } else {
+      while (a.first && a.i < a.hi) pk_step(a);
     }
+    while (a.i < a.hi && a.p + 8 <= a.safe) pk_fast(a);
     while (a.i < a.hi) pk_step(a);
     pk_finish(a);
   });

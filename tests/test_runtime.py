@@ -316,6 +316,35 @@ def test_pack_sized_underclaimed_bits_raises():
         runtime.pack_body_sized(arr, table.codes, table.lengths, bad_bits)
 
 
+def test_pack_fast_flush_boundary_fuzz():
+    """The parallel pack's branchless 8-byte flush (native.cpp pk_fast)
+    scribbles up to 7 look-ahead bytes inside a block's exclusive output
+    region; this pins the invariants that make it safe — byte-identity with
+    the numpy anchor across randomized skews (deep 20+ bit codes included),
+    block starts landing on and off byte boundaries, and tails ending within
+    8 bytes of the block's `safe` pointer."""
+    from entreepy_tpu.format import build_code_table, histogram
+    from entreepy_tpu.format.hostcodec import pack_body_np
+
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(42)
+    bb = runtime.PACK_BLOCK_BYTES
+    for trial in range(12):
+        # 2-4 blocks with +-7 byte jitter: every boundary-alignment class
+        n = int(rng.integers(2, 5)) * bb + int(rng.integers(-7, 8))
+        # Zipf-ish skew: exponent >= 1.6 yields 20+ bit codes alongside
+        # 1-2 bit ones, stressing the accumulator and the budget math
+        p = 1.0 / np.arange(1, 257) ** float(rng.uniform(0.8, 1.9))
+        p /= p.sum()
+        arr = rng.choice(256, size=n, p=p).astype(np.uint8)
+        table = build_code_table(histogram(arr), strict=False)
+        anchor, abits = pack_body_np(arr, table)
+        nat, nbits = runtime.pack_body(arr, table.codes, table.lengths)
+        assert nbits == abits, trial
+        assert nat == anchor, trial
+
+
 def test_trace_env_smoke(monkeypatch, capsys, macbeth):
     monkeypatch.setenv("ENTREEPY_TRACE", "1")
     import importlib

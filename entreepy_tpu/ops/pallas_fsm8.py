@@ -53,6 +53,18 @@ def _tiles8(lanes: int, k: int) -> tuple[int, int]:
 TBL_INT8 = os.environ.get("ENTREEPY_FUSED_DTYPE", "int8") == "int8"
 I8_OFF = 128
 
+# REFUTED on-chip (late r5): narrowing the BYTE-COMPARE register width to
+# shrink the one-hot build (the largest VPU term in the fused kernel) is
+# not available on v5e. All three formulations fail to compile: int8 INPUT
+# refs break Mosaic's tiling proof ("cannot statically prove index in
+# dimension 0 is a multiple of 8" on the dynamic single-row loads), and
+# both int8 and bf16 compares of cast values hit "Target does not support
+# this comparison" (e.g. cmpi on vector<8x128x4xi8>). The one-hot build
+# therefore stays int32; the fused pass sits at ~72% of its int8 MAC floor
+# (0.94 ms at W=237 on the 5.2 MB text corpus; measured 1.26-1.38 ms) and
+# the residue is exactly this VPU work. Re-try on a gen with packed
+# compares.
+
 
 def _tbl_dot(tbl_ref, x, b_col):
     """onehot(byte) contraction against the whole table -> (d, off): int32/
